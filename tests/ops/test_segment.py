@@ -1,0 +1,91 @@
+"""Segment-op unit tests against NumPy oracles."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tgp_tpu.ops import (
+    segment_count,
+    segment_max,
+    segment_mean,
+    segment_min,
+    segment_softmax,
+    segment_sum,
+    segment_topk_rank,
+)
+
+
+@pytest.fixture
+def data():
+    rng = np.random.default_rng(0)
+    n, s = 40, 5
+    vals = rng.normal(size=(n, 3)).astype(np.float32)
+    seg = rng.integers(0, s, size=n).astype(np.int32)
+    mask = rng.random(n) > 0.25
+    return vals, seg, mask, s
+
+
+def test_segment_sum_masked(data):
+    vals, seg, mask, s = data
+    out = segment_sum(jnp.asarray(vals), jnp.asarray(seg), s, mask=jnp.asarray(mask))
+    expect = np.zeros((s, 3), np.float32)
+    for i in range(len(seg)):
+        if mask[i]:
+            expect[seg[i]] += vals[i]
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5, atol=1e-5)
+
+
+def test_segment_mean_count(data):
+    vals, seg, mask, s = data
+    mean = segment_mean(jnp.asarray(vals), jnp.asarray(seg), s, mask=jnp.asarray(mask))
+    cnt = segment_count(jnp.asarray(seg), s, mask=jnp.asarray(mask))
+    for g in range(s):
+        sel = (seg == g) & mask
+        assert int(cnt[g]) == int(sel.sum())
+        if sel.sum():
+            np.testing.assert_allclose(
+                np.asarray(mean[g]), vals[sel].mean(0), rtol=1e-5, atol=1e-5
+            )
+
+
+def test_segment_max_min(data):
+    vals, seg, mask, s = data
+    v1 = vals[:, 0]
+    mx = segment_max(jnp.asarray(v1), jnp.asarray(seg), s, mask=jnp.asarray(mask))
+    mn = segment_min(jnp.asarray(v1), jnp.asarray(seg), s, mask=jnp.asarray(mask))
+    for g in range(s):
+        sel = (seg == g) & mask
+        if sel.sum():
+            assert np.isclose(float(mx[g]), v1[sel].max())
+            assert np.isclose(float(mn[g]), v1[sel].min())
+
+
+def test_segment_softmax(data):
+    vals, seg, mask, s = data
+    v1 = vals[:, 0]
+    p = np.asarray(
+        segment_softmax(jnp.asarray(v1), jnp.asarray(seg), s, mask=jnp.asarray(mask))
+    )
+    for g in range(s):
+        sel = (seg == g) & mask
+        if sel.sum():
+            e = np.exp(v1[sel] - v1[sel].max())
+            np.testing.assert_allclose(p[sel], e / e.sum(), rtol=1e-5, atol=1e-6)
+    assert np.allclose(p[~mask], 0.0)
+
+
+def test_segment_topk_rank(data):
+    vals, seg, mask, s = data
+    v1 = vals[:, 0]
+    rank = np.asarray(
+        segment_topk_rank(jnp.asarray(v1), jnp.asarray(seg), s, mask=jnp.asarray(mask))
+    )
+    for g in range(s):
+        sel = np.where((seg == g) & mask)[0]
+        order = sel[np.argsort(-v1[sel], kind="stable")]
+        for r, idx in enumerate(order):
+            assert rank[idx] == r
+        # masked elements rank after all valid ones in their segment
+        inval = np.where((seg == g) & ~mask)[0]
+        for idx in inval:
+            assert rank[idx] >= len(sel)

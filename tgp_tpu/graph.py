@@ -1,0 +1,319 @@
+"""Static-shape graph batch containers — the TPU-native data substrate.
+
+The reference library (torch-geometric-pool) carries graphs as dynamic-shape
+``x:[N,F]`` / ``edge_index:[2,E]`` / ``batch:[N]`` triples (PyG disjoint-union
+batching) and a parallel dense world ``x:[B,Nmax,F]`` / ``adj:[B,Nmax,Nmax]`` /
+``mask:[B,Nmax]`` (reference: tgp/src.py:374-452).  On TPU everything under
+``jit`` must have static shapes, so this module defines the two equivalents:
+
+* :class:`GraphBatch` — the **sparse world**: packed COO with *trailing
+  padding* and explicit validity masks.  Nodes of all graphs are packed into a
+  flat ``[N]`` axis (real nodes first, padding last), edges into ``[E]``.
+  Padding never has to be branched on: padded edge weights are zero and padded
+  node features are zero, so weighted segment ops are automatically correct;
+  boolean masks exist for the unweighted cases.
+* :class:`DenseGraphBatch` — the **dense world**: ``[B, Nmax, ...]`` padded
+  tensors, used by the soft-cluster-assignment poolers whose compute is plain
+  batched matmul on the MXU.
+
+Conversions between the two are pure gather/scatter with static output shapes
+(reference behavior: ``to_dense_adj`` / ``to_dense_batch``, tgp/src.py:414-452).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+__all__ = [
+    "GraphBatch",
+    "DenseGraphBatch",
+    "from_graphs",
+    "to_dense",
+    "from_dense",
+]
+
+
+@struct.dataclass
+class GraphBatch:
+    """A padded, static-shape batch of graphs in packed COO layout.
+
+    Attributes:
+      x: ``[N, F]`` node features. Zero on padding rows.
+      senders: ``[E]`` int32 source node of each edge (0 on padding edges).
+      receivers: ``[E]`` int32 target node of each edge (0 on padding edges).
+      edge_weight: ``[E]`` edge weights; **always materialized** (ones for
+        unweighted graphs) and **zero on padding edges** so weighted scatter
+        ops need no masking.
+      node_graph: ``[N]`` int32 graph id per node; clamped to a valid id on
+        padding rows (mask-gated ops must use ``node_mask``).
+      node_pos: ``[N]`` int32 position of each node *within its graph*
+        (< ``max_nodes``); makes sparse→dense a pure scatter.
+      node_mask: ``[N]`` bool, True for real nodes.
+      edge_mask: ``[E]`` bool, True for real edges.
+      num_graphs: static int ``B``.
+      max_nodes: static int — padded per-graph width ``Nmax`` (used both by
+        dense conversion and by per-graph pooling budgets such as top-k's
+        ``ceil(ratio * Nmax)`` supernode budget).
+    """
+
+    x: jax.Array
+    senders: jax.Array
+    receivers: jax.Array
+    edge_weight: jax.Array
+    node_graph: jax.Array
+    node_pos: jax.Array
+    node_mask: jax.Array
+    edge_mask: jax.Array
+    num_graphs: int = struct.field(pytree_node=False)
+    max_nodes: int = struct.field(pytree_node=False)
+
+    # -- static shape accessors -------------------------------------------
+    @property
+    def num_nodes(self) -> int:
+        """Padded node count N (static)."""
+        return self.x.shape[0]
+
+    @property
+    def num_edges(self) -> int:
+        """Padded edge count E (static)."""
+        return self.senders.shape[0]
+
+    @property
+    def num_features(self) -> int:
+        return self.x.shape[-1]
+
+    # -- traced per-graph quantities --------------------------------------
+    def nodes_per_graph(self) -> jax.Array:
+        """``[B]`` number of *real* nodes in each graph."""
+        return jax.ops.segment_sum(
+            self.node_mask.astype(jnp.int32),
+            self.node_graph,
+            num_segments=self.num_graphs,
+        )
+
+    def edges_per_graph(self) -> jax.Array:
+        """``[B]`` number of *real* edges in each graph."""
+        edge_graph = self.node_graph[self.senders]
+        return jax.ops.segment_sum(
+            self.edge_mask.astype(jnp.int32),
+            edge_graph,
+            num_segments=self.num_graphs,
+        )
+
+    @property
+    def edge_graph(self) -> jax.Array:
+        """``[E]`` graph id of each edge (via its sender)."""
+        return self.node_graph[self.senders]
+
+    def replace(self, **updates: Any) -> "GraphBatch":
+        return struct.dataclass.replace(self, **updates)  # pragma: no cover
+
+    def with_features(self, x: jax.Array) -> "GraphBatch":
+        return struct.replace(self, x=x)
+
+
+@struct.dataclass
+class DenseGraphBatch:
+    """Dense padded batch: ``x [B,Nmax,F]``, ``adj [B,Nmax,Nmax]``, ``mask [B,Nmax]``."""
+
+    x: jax.Array
+    adj: jax.Array
+    mask: jax.Array
+
+    @property
+    def num_graphs(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def max_nodes(self) -> int:
+        return self.x.shape[1]
+
+    @property
+    def num_features(self) -> int:
+        return self.x.shape[-1]
+
+
+# ---------------------------------------------------------------------------
+# Host-side collation (numpy; runs outside jit, in the data loader)
+# ---------------------------------------------------------------------------
+
+
+def _ceil_to(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
+def from_graphs(
+    graphs: Sequence[tuple[np.ndarray, np.ndarray] | tuple[np.ndarray, np.ndarray, np.ndarray]],
+    *,
+    pad_nodes: int | None = None,
+    pad_edges: int | None = None,
+    node_multiple: int = 8,
+    edge_multiple: int = 128,
+    dtype: Any = np.float32,
+) -> GraphBatch:
+    """Collate a list of ``(x, edge_index[, edge_weight])`` numpy graphs.
+
+    Packs real nodes/edges first, then trailing padding up to ``pad_nodes`` /
+    ``pad_edges`` (rounded up to hardware-friendly multiples when not given).
+    This replaces PyG's dynamic disjoint-union ``Batch.from_data_list``
+    (reference: tgp/data/loaders.py:105-170) with bucketed static shapes.
+    """
+    B = len(graphs)
+    if B == 0:
+        raise ValueError("from_graphs needs at least one graph")
+
+    xs, eis, ews = [], [], []
+    for g in graphs:
+        if len(g) == 3:
+            x, ei, ew = g
+        else:
+            x, ei = g
+            ew = None
+        x = np.asarray(x, dtype=dtype)
+        if x.ndim == 1:
+            x = x[:, None]
+        ei = np.asarray(ei, dtype=np.int64).reshape(2, -1)
+        if ew is None:
+            ew = np.ones(ei.shape[1], dtype=dtype)
+        xs.append(x)
+        eis.append(ei)
+        ews.append(np.asarray(ew, dtype=dtype).reshape(-1))
+
+    n_per = [x.shape[0] for x in xs]
+    e_per = [ei.shape[1] for ei in eis]
+    n_tot, e_tot = sum(n_per), sum(e_per)
+    max_nodes = max(n_per)
+    N = pad_nodes if pad_nodes is not None else _ceil_to(max(n_tot, 1), node_multiple)
+    E = pad_edges if pad_edges is not None else _ceil_to(max(e_tot, 1), edge_multiple)
+    if N < n_tot or E < e_tot:
+        raise ValueError(
+            f"padding budget too small: need ({n_tot},{e_tot}), got ({N},{E})"
+        )
+    F = xs[0].shape[1]
+
+    x_out = np.zeros((N, F), dtype=dtype)
+    senders = np.zeros(E, dtype=np.int32)
+    receivers = np.zeros(E, dtype=np.int32)
+    edge_weight = np.zeros(E, dtype=dtype)
+    node_graph = np.full(N, B - 1, dtype=np.int32)
+    node_pos = np.zeros(N, dtype=np.int32)
+    node_mask = np.zeros(N, dtype=bool)
+    edge_mask = np.zeros(E, dtype=bool)
+
+    n_off = e_off = 0
+    for g, (x, ei, ew) in enumerate(zip(xs, eis, ews)):
+        n, e = x.shape[0], ei.shape[1]
+        x_out[n_off : n_off + n] = x
+        node_graph[n_off : n_off + n] = g
+        node_pos[n_off : n_off + n] = np.arange(n)
+        node_mask[n_off : n_off + n] = True
+        senders[e_off : e_off + e] = ei[0] + n_off
+        receivers[e_off : e_off + e] = ei[1] + n_off
+        edge_weight[e_off : e_off + e] = ew
+        edge_mask[e_off : e_off + e] = True
+        n_off += n
+        e_off += e
+    # Padding nodes keep node_pos clamped into range for scatter safety.
+    node_pos[n_off:] = max_nodes - 1 if max_nodes > 0 else 0
+
+    return GraphBatch(
+        x=jnp.asarray(x_out),
+        senders=jnp.asarray(senders),
+        receivers=jnp.asarray(receivers),
+        edge_weight=jnp.asarray(edge_weight),
+        node_graph=jnp.asarray(node_graph),
+        node_pos=jnp.asarray(node_pos),
+        node_mask=jnp.asarray(node_mask),
+        edge_mask=jnp.asarray(edge_mask),
+        num_graphs=B,
+        max_nodes=max_nodes,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sparse <-> dense conversion (jit-friendly, static shapes)
+# ---------------------------------------------------------------------------
+
+
+def to_dense(batch: GraphBatch, max_nodes: int | None = None) -> DenseGraphBatch:
+    """Sparse packed batch → dense padded batch (pure scatter).
+
+    Equivalent of the reference's ``to_dense_batch`` + ``to_dense_adj``
+    preprocessing (tgp/src.py:414-452), but with a static ``Nmax`` known from
+    the batch metadata rather than computed from data.
+    """
+    Nmax = max_nodes if max_nodes is not None else batch.max_nodes
+    B = batch.num_graphs
+    F = batch.num_features
+
+    nm = batch.node_mask
+    x_safe = jnp.where(nm[:, None], batch.x, 0.0)
+    x_dense = jnp.zeros((B, Nmax, F), batch.x.dtype).at[
+        batch.node_graph, batch.node_pos
+    ].add(x_safe)
+    mask = jnp.zeros((B, Nmax), bool).at[batch.node_graph, batch.node_pos].max(nm)
+
+    eg = batch.edge_graph
+    sp = batch.node_pos[batch.senders]
+    rp = batch.node_pos[batch.receivers]
+    w = jnp.where(batch.edge_mask, batch.edge_weight, 0.0)
+    adj = jnp.zeros((B, Nmax, Nmax), batch.edge_weight.dtype).at[eg, sp, rp].add(w)
+    return DenseGraphBatch(x=x_dense, adj=adj, mask=mask)
+
+
+def from_dense(
+    dense: DenseGraphBatch,
+    *,
+    keep_self_loops: bool = True,
+) -> GraphBatch:
+    """Dense padded batch → sparse packed batch (block-diagonal flatten).
+
+    Every ``B*Nmax`` node slot becomes a flat node (padding marked invalid);
+    every ``B*Nmax*Nmax`` adjacency entry becomes an edge slot, masked by
+    nonzero weight and endpoint validity.  This is the static-shape analogue
+    of the reference's ``dense_to_block_diag`` (tgp/utils/ops.py:53-82) used
+    by ``_finalize_sparse_output`` (tgp/src.py:500-557) — intended for small
+    pooled graphs where ``Nmax == K``.
+    """
+    B, K, F = dense.x.shape
+    N = B * K
+    x = dense.x.reshape(N, F)
+    mask = dense.mask.reshape(N)
+    node_graph = jnp.repeat(jnp.arange(B, dtype=jnp.int32), K)
+    node_pos = jnp.tile(jnp.arange(K, dtype=jnp.int32), B)
+
+    # Edge slots: for each graph, all K*K pairs.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (B, K, K), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B, K, K), 2)
+    goff = (jnp.arange(B, dtype=jnp.int32) * K)[:, None, None]
+    senders = (rows + goff).reshape(-1)
+    receivers = (cols + goff).reshape(-1)
+    w = dense.adj.reshape(-1)
+    valid = (
+        (w != 0)
+        & mask[senders]
+        & mask[receivers]
+    )
+    if not keep_self_loops:
+        valid = valid & (senders != receivers)
+    w = jnp.where(valid, w, 0.0)
+    senders = jnp.where(valid, senders, 0)
+    receivers = jnp.where(valid, receivers, 0)
+
+    return GraphBatch(
+        x=jnp.where(mask[:, None], x, 0.0),
+        senders=senders,
+        receivers=receivers,
+        edge_weight=w,
+        node_graph=node_graph,
+        node_pos=node_pos,
+        node_mask=mask,
+        edge_mask=valid,
+        num_graphs=B,
+        max_nodes=K,
+    )

@@ -1,0 +1,137 @@
+"""Segment (scatter-reduce) primitives — the load-bearing sparse kernels.
+
+These replace the reference stack's ``torch_scatter`` C++/CUDA segment
+reductions (reference dependency, pyproject.toml:40-45; used throughout
+tgp/reduce/base_reduce.py:141-155, tgp/lift/base_lift.py:102-111, and the
+sparse losses in tgp/utils/losses.py).  On TPU, XLA lowers
+``jax.ops.segment_*`` to scatter/reduce-window combos; the hot SpMM-shaped
+cases additionally have Pallas kernels in :mod:`tgp_tpu.ops.pallas`.
+
+All functions take a static ``num_segments`` and never branch on data, so
+they are jit/vmap/shard_map safe.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "segment_sum",
+    "segment_mean",
+    "segment_max",
+    "segment_min",
+    "segment_softmax",
+    "segment_count",
+    "segment_normalize",
+    "segment_topk_rank",
+]
+
+_NEG_INF = jnp.finfo(jnp.float32).min
+_POS_INF = jnp.finfo(jnp.float32).max
+
+
+def segment_sum(data, segment_ids, num_segments, mask=None):
+    """Masked scatter-add: ``out[s] = Σ_{i: seg[i]==s, mask[i]} data[i]``."""
+    if mask is not None:
+        shape = data.shape if data.ndim == mask.ndim else mask.shape + (1,) * (data.ndim - mask.ndim)
+        data = jnp.where(mask.reshape(shape), data, 0)
+    return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
+
+
+def segment_count(segment_ids, num_segments, mask=None):
+    ones = jnp.ones(segment_ids.shape, jnp.int32)
+    return segment_sum(ones, segment_ids, num_segments, mask=mask)
+
+
+def segment_mean(data, segment_ids, num_segments, mask=None, eps: float = 1e-12):
+    s = segment_sum(data, segment_ids, num_segments, mask=mask)
+    c = segment_count(segment_ids, num_segments, mask=mask).astype(s.dtype)
+    c = jnp.maximum(c, eps)
+    if s.ndim > c.ndim:
+        c = c.reshape(c.shape + (1,) * (s.ndim - c.ndim))
+    return s / c
+
+
+def segment_max(data, segment_ids, num_segments, mask=None):
+    """Masked segment max; empty segments return dtype-min."""
+    if mask is not None:
+        shape = data.shape if data.ndim == mask.ndim else mask.shape + (1,) * (data.ndim - mask.ndim)
+        data = jnp.where(mask.reshape(shape), data, jnp.finfo(data.dtype).min
+                         if jnp.issubdtype(data.dtype, jnp.floating)
+                         else jnp.iinfo(data.dtype).min)
+    return jax.ops.segment_max(data, segment_ids, num_segments=num_segments)
+
+
+def segment_min(data, segment_ids, num_segments, mask=None):
+    """Masked segment min; empty segments return dtype-max."""
+    if mask is not None:
+        shape = data.shape if data.ndim == mask.ndim else mask.shape + (1,) * (data.ndim - mask.ndim)
+        data = jnp.where(mask.reshape(shape), data, jnp.finfo(data.dtype).max
+                         if jnp.issubdtype(data.dtype, jnp.floating)
+                         else jnp.iinfo(data.dtype).max)
+    return jax.ops.segment_min(data, segment_ids, num_segments=num_segments)
+
+
+def segment_softmax(scores, segment_ids, num_segments, mask=None):
+    """Numerically-stable per-segment softmax (per-graph softmax / sparse
+    attention normalizer; reference analogues: per-graph ``softmax`` in
+    tgp/select/topk_select.py ``min_score`` path and LaPool's sparse cosine
+    softmax, tgp/select/lapool_select.py:26-78).
+
+    Masked-out entries get probability 0 and do not contribute to the
+    normalizer.
+    """
+    m = segment_max(scores, segment_ids, num_segments, mask=mask)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    shifted = scores - m[segment_ids]
+    e = jnp.exp(shifted)
+    if mask is not None:
+        e = jnp.where(mask, e, 0.0)
+    denom = segment_sum(e, segment_ids, num_segments)
+    denom = jnp.maximum(denom, 1e-16)
+    return e / denom[segment_ids]
+
+
+def segment_normalize(data, segment_ids, num_segments, mask=None, ord: str = "max_abs",
+                      eps: float = 1e-12):
+    """Per-segment normalization. ``ord='max_abs'`` divides by the per-segment
+    max |value| (reference: per-graph max-abs edge-weight norm in
+    ``postprocess_adj_pool_sparse``, tgp/utils/ops.py:338-419); ``'sum'``
+    divides by the per-segment sum."""
+    if ord == "max_abs":
+        denom = segment_max(jnp.abs(data), segment_ids, num_segments, mask=mask)
+    elif ord == "sum":
+        denom = segment_sum(data, segment_ids, num_segments, mask=mask)
+    else:
+        raise ValueError(f"unknown ord {ord!r}")
+    denom = jnp.where(jnp.abs(denom) > eps, denom, 1.0)
+    out = data / denom[segment_ids]
+    if mask is not None:
+        out = jnp.where(mask, out, data)
+    return out
+
+
+def segment_topk_rank(scores, segment_ids, num_segments, mask=None):
+    """Rank of each element within its segment by **descending** score.
+
+    Returns ``rank [N] int32`` where rank 0 is the largest valid score in the
+    segment; masked elements rank after all valid ones.  Ties break by
+    original index (stable).  This is the static-shape engine behind
+    per-graph top-k selection (reference: PyG ``topk`` used in
+    tgp/select/topk_select.py:169-207).
+    """
+    n = scores.shape[0]
+    if mask is None:
+        mask = jnp.ones(n, bool)
+    # Lexicographic sort: segment asc, valid-first, score desc, index asc.
+    order = jnp.lexsort(
+        (jnp.arange(n), -scores, ~mask, segment_ids)
+    )
+    pos = jnp.zeros(n, jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+    # start[g] = number of elements (valid or not) with segment < g.
+    total_per_seg = segment_count(segment_ids, num_segments)
+    start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(total_per_seg)[:-1].astype(jnp.int32)]
+    )
+    return pos - start[segment_ids]

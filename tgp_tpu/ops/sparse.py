@@ -1,0 +1,210 @@
+"""Sparse connectivity ops under static shapes: coalesce, degree, self-loops,
+adjacency post-processing, SpMM.
+
+These are the TPU-native replacements for the reference's connectivity "ABI"
+(`tgp/utils/ops.py`): instead of dynamic-shape ``coalesce``/``subgraph``
+compaction, everything here keeps the static edge budget and uses validity
+masks — duplicate edges are merged by sort + segment-sum with surplus slots
+masked out (SURVEY §7 design translation table).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tgp_tpu.ops.segment import (
+    segment_max,
+    segment_normalize,
+    segment_sum,
+)
+
+__all__ = [
+    "coalesce",
+    "weighted_degree",
+    "remove_self_loops",
+    "add_remaining_self_loops",
+    "spmm",
+    "sddmm",
+    "normalize_adj_sym",
+    "postprocess_adj_sparse",
+    "postprocess_adj_dense",
+    "rank3_trace",
+    "rank3_diag",
+]
+
+
+def coalesce(senders, receivers, edge_weight, edge_mask, num_nodes: int,
+             reduce: str = "sum"):
+    """Merge duplicate ``(sender, receiver)`` edges with a static edge budget.
+
+    Replaces PyG's dynamic ``coalesce`` (used by sparse connect on total
+    assignments, tgp/connect/base_conn.py:57-112).  Sorts edges by the scalar
+    key ``sender * num_nodes + receiver`` (invalid edges to the back), sums
+    (or max/mean-reduces) weights of equal keys into the *first* slot of each
+    duplicate run, and masks the rest.  Output edge count == input edge count;
+    surplus slots have ``edge_mask=False`` and weight 0.
+    """
+    E = senders.shape[0]
+    # Push invalid edges to the back; lexsort avoids key overflow on large N.
+    s_k = jnp.where(edge_mask, senders, num_nodes)
+    r_k = jnp.where(edge_mask, receivers, num_nodes)
+    order = jnp.lexsort((r_k, s_k))
+    ss, rs = s_k[order], r_k[order]
+    sw = jnp.where(edge_mask, edge_weight, 0.0)[order]
+
+    # Head of each run of equal (sender, receiver) keys.
+    is_head = jnp.concatenate(
+        [jnp.ones(1, bool), (ss[1:] != ss[:-1]) | (rs[1:] != rs[:-1])]
+    )
+    # Run id per sorted position = inclusive-scan of heads - 1.
+    run_id = jnp.cumsum(is_head.astype(jnp.int32)) - 1
+    if reduce == "sum":
+        run_val = segment_sum(sw, run_id, E)
+    elif reduce == "mean":
+        run_sum = segment_sum(sw, run_id, E)
+        run_cnt = segment_sum(jnp.ones_like(sw), run_id, E)
+        run_val = run_sum / jnp.maximum(run_cnt, 1.0)
+    elif reduce == "max":
+        run_val = segment_max(sw, run_id, E)
+    else:
+        raise ValueError(f"unknown reduce {reduce!r}")
+
+    valid = is_head & (ss < num_nodes)
+    w_out = jnp.where(valid, run_val[run_id], 0.0)
+    s_out = jnp.where(valid, senders[order], 0)
+    r_out = jnp.where(valid, receivers[order], 0)
+    return s_out, r_out, w_out, valid
+
+
+def weighted_degree(index, weight, num_nodes: int, mask=None):
+    """Per-node (weighted) degree (reference: tgp/utils/ops.py:975-997)."""
+    if weight is None:
+        weight = jnp.ones(index.shape[0], jnp.float32)
+    return segment_sum(weight, index, num_nodes, mask=mask)
+
+
+def remove_self_loops(senders, receivers, edge_weight, edge_mask):
+    """Mask out self-loop edges (static shape; no compaction)."""
+    keep = edge_mask & (senders != receivers)
+    return senders, receivers, jnp.where(keep, edge_weight, 0.0), keep
+
+
+def add_remaining_self_loops(senders, receivers, edge_weight, edge_mask,
+                             node_mask, fill_value: float = 1.0):
+    """Append one self-loop slot per node; existing self-loops keep their
+    weight, missing ones get ``fill_value``.
+
+    Static-shape version of tgp/utils/ops.py:1000-1040: output edge budget is
+    ``E + N``.  The appended slot for node *i* is masked out when the input
+    already contains a valid ``(i, i)`` edge.
+    """
+    N = node_mask.shape[0]
+    has_loop = segment_sum(
+        (edge_mask & (senders == receivers)).astype(jnp.int32), senders, N
+    ) > 0
+    loop_idx = jnp.arange(N, dtype=senders.dtype)
+    new_mask = node_mask & ~has_loop
+    s = jnp.concatenate([senders, loop_idx])
+    r = jnp.concatenate([receivers, loop_idx])
+    w = jnp.concatenate([
+        edge_weight,
+        jnp.where(new_mask, fill_value, 0.0).astype(edge_weight.dtype),
+    ])
+    m = jnp.concatenate([edge_mask, new_mask])
+    return s, r, w, m
+
+
+def spmm(senders, receivers, edge_weight, x, num_nodes: int):
+    """Sparse matmul ``(A X)[r] = Σ_{e: recv[e]=r} w_e · x[send_e]``.
+
+    The gather + segment-sum formulation of SpMM — the single hottest sparse
+    primitive (reference analogue: ``torch.sparse.mm`` / torch_scatter
+    scatter in message passing and reduce; SURVEY §7).  Padding edges carry
+    zero weight, so no masking is needed.
+    """
+    msgs = x[senders] * edge_weight[:, None]
+    return jax.ops.segment_sum(msgs, receivers, num_segments=num_nodes)
+
+
+def sddmm(senders, receivers, a, b):
+    """Sampled dense-dense matmul: per-edge ``⟨a[s], b[r]⟩`` (the edge-wise
+    ``⟨S_i, S_j⟩`` primitive of the sparse loss twins, e.g.
+    ``sparse_mincut_loss``, tgp/utils/losses.py:126-215)."""
+    return jnp.sum(a[senders] * b[receivers], axis=-1)
+
+
+def normalize_adj_sym(senders, receivers, edge_weight, edge_mask,
+                      num_nodes: int, eps: float = 1e-12):
+    """Symmetric degree normalization ``D^{-1/2} A D^{-1/2}`` on masked COO."""
+    deg = weighted_degree(receivers, jnp.abs(edge_weight), num_nodes,
+                          mask=edge_mask)
+    dinv = jnp.where(deg > eps, jax.lax.rsqrt(jnp.maximum(deg, eps)), 0.0)
+    w = edge_weight * dinv[senders] * dinv[receivers]
+    return jnp.where(edge_mask, w, 0.0)
+
+
+def postprocess_adj_sparse(senders, receivers, edge_weight, edge_mask,
+                           node_graph, num_nodes: int, num_graphs: int, *,
+                           remove_self_loops_flag: bool = True,
+                           degree_norm: bool = False,
+                           edge_weight_norm: bool = False,
+                           prune_eps: float | None = None):
+    """Pooled-adjacency post-processing, sparse world
+    (reference: ``postprocess_adj_pool_sparse``, tgp/utils/ops.py:338-419):
+    optional self-loop removal, ε-pruning of tiny weights, symmetric degree
+    norm, and per-graph max-abs edge-weight normalization."""
+    w, m = edge_weight, edge_mask
+    if remove_self_loops_flag:
+        senders, receivers, w, m = remove_self_loops(senders, receivers, w, m)
+    if prune_eps is not None:
+        keep = m & (jnp.abs(w) > prune_eps)
+        w = jnp.where(keep, w, 0.0)
+        m = keep
+    if degree_norm:
+        w = normalize_adj_sym(senders, receivers, w, m, num_nodes)
+    if edge_weight_norm:
+        edge_graph = node_graph[senders]
+        w = segment_normalize(w, edge_graph, num_graphs, mask=m, ord="max_abs")
+        w = jnp.where(m, w, 0.0)
+    return senders, receivers, w, m
+
+
+def rank3_trace(x):
+    """Batched trace of ``[B, N, N]`` (reference: tgp/utils/ops.py:28-38)."""
+    return jnp.einsum("bii->b", x)
+
+
+def rank3_diag(x):
+    """``[B, N]`` → batched diagonal matrices ``[B, N, N]``
+    (reference: tgp/utils/ops.py:41-50)."""
+    return x[..., None] * jnp.eye(x.shape[-1], dtype=x.dtype)
+
+
+def postprocess_adj_dense(adj, mask=None, *,
+                          remove_self_loops_flag: bool = True,
+                          degree_norm: bool = False,
+                          edge_weight_norm: bool = False,
+                          adj_transpose: bool = False,
+                          eps: float = 1e-12):
+    """Pooled-adjacency post-processing, dense world ``[B, K, K]``
+    (reference: ``postprocess_adj_pool_dense``, tgp/utils/ops.py:282-335):
+    zero the diagonal, optional ``D^{-1/2} A D^{-1/2}`` (transpose-aware),
+    optional per-graph max-abs normalization."""
+    B, K, _ = adj.shape
+    if remove_self_loops_flag:
+        adj = adj * (1.0 - jnp.eye(K, dtype=adj.dtype))
+    if degree_norm:
+        a = jnp.swapaxes(adj, -1, -2) if adj_transpose else adj
+        deg = jnp.abs(a).sum(-1)
+        dinv = jnp.where(deg > eps, jax.lax.rsqrt(jnp.maximum(deg, eps)), 0.0)
+        a = dinv[..., :, None] * a * dinv[..., None, :]
+        adj = jnp.swapaxes(a, -1, -2) if adj_transpose else a
+    if edge_weight_norm:
+        mx = jnp.max(jnp.abs(adj).reshape(B, -1), axis=-1)
+        mx = jnp.where(mx > eps, mx, 1.0)
+        adj = adj / mx[:, None, None]
+    if mask is not None:
+        m = mask.astype(adj.dtype)
+        adj = adj * m[:, :, None] * m[:, None, :]
+    return adj
