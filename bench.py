@@ -1,0 +1,179 @@
+"""Benchmark: edges/s/chip for the MP + pool hot path (forward+backward).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no numbers (BASELINE.md) and its stack
+(torch_geometric/torch_scatter) is not installed in this image, so the
+baseline is a faithful torch-CPU re-implementation of the same training step
+(GCN -> topk pool -> GCN -> readout, scatter/index_add based like
+torch_scatter) on identical graphs.  ``vs_baseline`` = our edges/s on the
+available accelerator / torch edges/s on CPU.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# --- workload ------------------------------------------------------------
+B = 64           # graphs per batch
+N_PER = 256      # nodes per graph
+P_EDGE = 0.03    # ER density
+F = 128          # feature width
+HIDDEN = 128
+STEPS = 30
+
+
+def make_graphs(seed=0):
+    rng = np.random.default_rng(seed)
+    graphs = []
+    for _ in range(B):
+        n = N_PER
+        upper = np.triu(rng.random((n, n)) < P_EDGE, k=1)
+        adj = upper | upper.T
+        s, r = np.nonzero(adj)
+        x = rng.normal(size=(n, F)).astype(np.float32)
+        graphs.append((x, np.stack([s, r]).astype(np.int64)))
+    labels = rng.integers(0, 3, size=B).astype(np.int32)
+    return graphs, labels
+
+
+def bench_jax(graphs, labels):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tgp_tpu.data.loaders import GraphLoader
+    from tgp_tpu.models.classifiers import PoolingClassifier
+    from tgp_tpu.poolers import get_pooler
+
+    loader = GraphLoader(graphs, labels, batch_size=B)
+    batch, y = next(iter(loader))
+    y = jnp.asarray(y)
+
+    pooler = get_pooler("topk", in_channels=HIDDEN, ratio=0.5)
+    model = PoolingClassifier(pooler=pooler, num_classes=3, hidden=HIDDEN)
+    params = model.init(jax.random.key(0), batch)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, batch, y):
+        def loss_fn(p):
+            logits, out = model.apply(p, batch)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean() + out.loss_sum()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    # warmup/compile
+    p, o, l = step(params, opt_state, batch, y)
+    jax.block_until_ready(l)
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        p, o, l = step(p, o, batch, y)
+    jax.block_until_ready(l)
+    dt = (time.perf_counter() - t0) / STEPS
+    n_edges = int(np.asarray(batch.edge_mask).sum())
+    return n_edges / dt, dt
+
+
+def bench_torch(graphs, labels):
+    """Reference-equivalent torch CPU step (scatter-based GCN + per-graph
+    topk pooling, like tgp's TopkPooling with torch_scatter kernels)."""
+    import torch
+    import torch.nn.functional as Fn
+
+    xs = [torch.tensor(g[0]) for g in graphs]
+    eis = [torch.tensor(g[1]) for g in graphs]
+    # disjoint union
+    offs, no = [], 0
+    for x in xs:
+        offs.append(no)
+        no += x.shape[0]
+    x = torch.cat(xs)
+    ei = torch.cat([e + o for e, o in zip(eis, offs)], dim=1)
+    bvec = torch.cat([torch.full((g[0].shape[0],), i, dtype=torch.long)
+                      for i, g in enumerate(graphs)])
+    y = torch.tensor(np.asarray(labels), dtype=torch.long)
+    N = x.shape[0]
+
+    class Net(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.l1 = torch.nn.Linear(F, HIDDEN)
+            self.p = torch.nn.Parameter(torch.randn(HIDDEN))
+            self.l2 = torch.nn.Linear(HIDDEN, HIDDEN)
+            self.head = torch.nn.Linear(HIDDEN, 3)
+
+        @staticmethod
+        def gcn(h, ei, n):
+            deg = torch.zeros(n).index_add_(
+                0, ei[1], torch.ones(ei.shape[1])) + 1
+            dinv = deg.rsqrt()
+            w = dinv[ei[0]] * dinv[ei[1]]
+            out = torch.zeros_like(h).index_add_(0, ei[1], h[ei[0]] * w[:, None])
+            return out + h * (dinv * dinv)[:, None]
+
+        def forward(self, x, ei, bvec):
+            h = torch.relu(self.gcn(self.l1(x), ei, N))
+            score = torch.tanh(h @ self.p / self.p.norm())
+            # per-graph topk (ratio .5)
+            keep_list = []
+            for g in range(B):
+                idx = (bvec == g).nonzero(as_tuple=True)[0]
+                k = int(np.ceil(0.5 * idx.numel()))
+                top = idx[score[idx].topk(k).indices]
+                keep_list.append(top)
+            keep = torch.cat(keep_list)
+            remap = -torch.ones(N, dtype=torch.long)
+            remap[keep] = torch.arange(keep.numel())
+            h2 = h[keep] * score[keep, None]
+            em = (remap[ei[0]] >= 0) & (remap[ei[1]] >= 0)
+            ei2 = remap[:, None].squeeze(1)[ei[:, em]]
+            h2 = torch.relu(self.gcn(self.l2(h2), ei2, keep.numel()))
+            pooled = torch.zeros(B, HIDDEN).index_add_(0, bvec[keep], h2)
+            return self.head(pooled)
+
+    net = Net()
+    opt = torch.optim.Adam(net.parameters(), lr=1e-3)
+
+    def step():
+        opt.zero_grad()
+        logits = net(x, ei, bvec)
+        loss = Fn.cross_entropy(logits, y)
+        loss.backward()
+        opt.step()
+        return loss
+
+    step()  # warmup
+    n_steps = max(STEPS // 3, 5)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        step()
+    dt = (time.perf_counter() - t0) / n_steps
+    return ei.shape[1] / dt, dt
+
+
+def main():
+    graphs, labels = make_graphs()
+    ours, dt_ours = bench_jax(graphs, labels)
+    try:
+        base, dt_base = bench_torch(graphs, labels)
+    except Exception:
+        base = None
+    rec = {
+        "metric": "edges_per_s_chip",
+        "value": round(ours, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(ours / base, 3) if base else None,
+    }
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""Graph classification example (reference: examples/classification.py).
+
+Trains a GCN → pooler → GCN → readout classifier on the synthetic
+structural-classification dataset (PROTEINS stand-in for the zero-egress
+environment).  Run:  python examples/classification.py [pooler_alias]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tgp_tpu.data.loaders import GraphLoader
+from tgp_tpu.datasets.synthetic import SyntheticGraphClassification
+from tgp_tpu.models.classifiers import PoolingClassifier
+from tgp_tpu.poolers import get_pooler
+
+
+def main(alias: str = "topk", epochs: int = 20, batch_size: int = 32,
+         hidden: int = 64, seed: int = 0, verbose: bool = True):
+    graphs, labels = SyntheticGraphClassification(
+        num_graphs=360, num_features=8, seed=42
+    ).generate()
+    n_train = 300
+    train_loader = GraphLoader(graphs[:n_train], labels[:n_train],
+                               batch_size=batch_size, shuffle=True, seed=seed)
+    test_loader = GraphLoader(graphs[n_train:], labels[n_train:],
+                              batch_size=batch_size,
+                              pad_nodes=train_loader.pad_nodes,
+                              pad_edges=train_loader.pad_edges,
+                              max_nodes=train_loader.max_nodes)
+
+    pooler = get_pooler(alias, in_channels=hidden, ratio=0.5, k=16)
+    model = PoolingClassifier(pooler=pooler, num_classes=3, hidden=hidden)
+
+    batch0, y0 = next(iter(train_loader))
+    params = model.init(jax.random.key(seed), batch0)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, batch, y):
+        def loss_fn(p):
+            logits, out = model.apply(p, batch)
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+            return ce + out.loss_sum(), logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        acc = jnp.mean(jnp.argmax(logits, -1) == y)
+        return params, opt_state, loss, acc
+
+    @jax.jit
+    def eval_step(params, batch, y):
+        logits, _ = model.apply(params, batch)
+        return jnp.argmax(logits, -1) == y
+
+    t0 = time.time()
+    for epoch in range(epochs):
+        losses, accs = [], []
+        for batch, y in train_loader:
+            params, opt_state, loss, acc = train_step(
+                params, opt_state, batch, jnp.asarray(y))
+            losses.append(float(loss))
+            accs.append(float(acc))
+        if verbose:
+            print(f"epoch {epoch:03d} loss {np.mean(losses):.4f} "
+                  f"train-acc {np.mean(accs):.3f}")
+
+    correct = []
+    for batch, y in test_loader:
+        correct.append(np.asarray(eval_step(params, batch, jnp.asarray(y))))
+    test_acc = float(np.mean(np.concatenate(correct)))
+    if verbose:
+        print(f"[{alias}] test acc {test_acc:.3f}  ({time.time()-t0:.1f}s)")
+    return test_acc
+
+
+if __name__ == "__main__":
+    alias = sys.argv[1] if len(sys.argv) > 1 else "topk"
+    main(alias)

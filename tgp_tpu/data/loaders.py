@@ -1,0 +1,84 @@
+"""Batching / data loading: list-of-graphs → static-shape GraphBatch stream.
+
+Replaces the reference's ``PoolDataLoader``/``PoolCollater``/``PooledBatch``
+(tgp/data/loaders.py:13-170).  Because everything under ``jit`` needs static
+shapes, the loader computes **fixed padding budgets** over the dataset
+(max total nodes/edges of any batch, rounded up) so every batch compiles to
+the same executable.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tgp_tpu.graph import GraphBatch, from_graphs
+
+__all__ = ["GraphLoader", "compute_budgets"]
+
+
+def _ceil_to(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
+def compute_budgets(graphs: Sequence, batch_size: int,
+                    node_multiple: int = 8, edge_multiple: int = 128
+                    ) -> Tuple[int, int, int]:
+    """Worst-case (pad_nodes, pad_edges, max_nodes_per_graph) for any
+    ``batch_size``-sized batch of ``graphs``."""
+    n_per = sorted((g[0].shape[0] for g in graphs), reverse=True)
+    e_per = sorted((g[1].shape[1] for g in graphs), reverse=True)
+    pad_nodes = _ceil_to(sum(n_per[:batch_size]), node_multiple)
+    pad_edges = _ceil_to(max(sum(e_per[:batch_size]), 1), edge_multiple)
+    return pad_nodes, pad_edges, n_per[0]
+
+
+class GraphLoader:
+    """Minibatch iterator with static padding budgets.
+
+    Args:
+      graphs: list of ``(x, edge_index[, edge_weight])`` numpy graphs.
+      labels: optional per-graph labels, yielded alongside each batch.
+      batch_size: graphs per batch (last short batch is dropped when
+        ``drop_last`` or padded with repeats to keep B static otherwise).
+    """
+
+    def __init__(self, graphs: Sequence, labels: Optional[np.ndarray] = None,
+                 batch_size: int = 32, shuffle: bool = False, seed: int = 0,
+                 pad_nodes: Optional[int] = None,
+                 pad_edges: Optional[int] = None,
+                 max_nodes: Optional[int] = None):
+        self.graphs = list(graphs)
+        self.labels = None if labels is None else np.asarray(labels)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        pn, pe, mx = compute_budgets(self.graphs, batch_size)
+        self.pad_nodes = pad_nodes or pn
+        self.pad_edges = pad_edges or pe
+        # dataset-global per-graph width so every batch has identical
+        # static shapes (no per-batch recompiles)
+        self.max_nodes = max_nodes or mx
+
+    def __len__(self) -> int:
+        return (len(self.graphs) + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator:
+        order = np.arange(len(self.graphs))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        B = self.batch_size
+        for start in range(0, len(order), B):
+            idx = order[start : start + B]
+            if len(idx) < B:  # keep B static: pad by repeating graphs
+                idx = np.concatenate([idx, order[: B - len(idx)]])
+            batch = from_graphs(
+                [self.graphs[i] for i in idx],
+                pad_nodes=self.pad_nodes, pad_edges=self.pad_edges,
+                max_nodes=self.max_nodes,
+            )
+            if self.labels is not None:
+                yield batch, np.asarray(self.labels[idx])
+            else:
+                yield batch

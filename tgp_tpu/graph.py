@@ -110,11 +110,8 @@ class GraphBatch:
         """``[E]`` graph id of each edge (via its sender)."""
         return self.node_graph[self.senders]
 
-    def replace(self, **updates: Any) -> "GraphBatch":
-        return struct.dataclass.replace(self, **updates)  # pragma: no cover
-
     def with_features(self, x: jax.Array) -> "GraphBatch":
-        return struct.replace(self, x=x)
+        return self.replace(x=x)  # .replace from flax.struct.dataclass
 
 
 @struct.dataclass
@@ -152,6 +149,7 @@ def from_graphs(
     *,
     pad_nodes: int | None = None,
     pad_edges: int | None = None,
+    max_nodes: int | None = None,
     node_multiple: int = 8,
     edge_multiple: int = 128,
     dtype: Any = np.float32,
@@ -187,7 +185,10 @@ def from_graphs(
     n_per = [x.shape[0] for x in xs]
     e_per = [ei.shape[1] for ei in eis]
     n_tot, e_tot = sum(n_per), sum(e_per)
-    max_nodes = max(n_per)
+    if max_nodes is None:
+        max_nodes = max(n_per)
+    elif max_nodes < max(n_per):
+        raise ValueError(f"max_nodes={max_nodes} < largest graph ({max(n_per)})")
     N = pad_nodes if pad_nodes is not None else _ceil_to(max(n_tot, 1), node_multiple)
     E = pad_edges if pad_edges is not None else _ceil_to(max(e_tot, 1), edge_multiple)
     if N < n_tot or E < e_tot:

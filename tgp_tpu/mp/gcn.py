@@ -1,0 +1,98 @@
+"""Message-passing layers for the hot loop: GCN and GraphConv.
+
+These replace the reference examples' PyG ``GCNConv``/``GraphConv``/dense
+twins (examples/classification.py:96-121).  Sparse path = SpMM
+(gather + segment-sum) over the masked COO; dense path = batched matmul on
+the MXU with mask-aware normalization.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tgp_tpu.graph import DenseGraphBatch, GraphBatch
+from tgp_tpu.ops.sparse import (
+    add_remaining_self_loops,
+    normalize_adj_sym,
+    spmm,
+)
+
+__all__ = ["GCNConv", "GraphConv", "gcn_norm"]
+
+
+def gcn_norm(batch: GraphBatch, add_self_loops: bool = True):
+    """Symmetric GCN normalization ``D^{-1/2}(A+I)D^{-1/2}`` on masked COO.
+    Returns ``(senders, receivers, weight)`` with the ``E+N`` static budget
+    when self-loops are added."""
+    s, r, w, m = (batch.senders, batch.receivers, batch.edge_weight,
+                  batch.edge_mask)
+    if add_self_loops:
+        s, r, w, m = add_remaining_self_loops(s, r, w, m, batch.node_mask, 1.0)
+    w = normalize_adj_sym(s, r, w, m, batch.num_nodes)
+    return s, r, w
+
+
+class GCNConv(nn.Module):
+    """GCN layer: ``X' = D^{-1/2}(A+I)D^{-1/2} X W + b``.
+
+    Accepts a sparse :class:`GraphBatch` (SpMM path) or a dense
+    :class:`DenseGraphBatch` (einsum path, for pooled dense graphs).
+    """
+
+    out_channels: int
+    add_self_loops: bool = True
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, batch: Union[GraphBatch, DenseGraphBatch],
+                 x: Optional[jax.Array] = None) -> jax.Array:
+        if x is None:
+            x = batch.x
+        h = nn.Dense(self.out_channels, use_bias=False,
+                     kernel_init=nn.initializers.glorot_uniform())(x)
+        if isinstance(batch, DenseGraphBatch):
+            adj = batch.adj
+            if self.add_self_loops:
+                eye = jnp.eye(adj.shape[-1], dtype=adj.dtype)
+                m = batch.mask.astype(adj.dtype)
+                adj = adj + eye * m[:, :, None]  # A+I on valid nodes only
+            deg = jnp.clip(jnp.abs(adj).sum(-1), 1e-12, None)
+            dinv = jax.lax.rsqrt(deg)
+            adj = dinv[..., :, None] * adj * dinv[..., None, :]
+            out = jnp.einsum("bnm,bmf->bnf", adj, h)
+            out = jnp.where(batch.mask[..., None], out, 0.0)
+        else:
+            s, r, w = gcn_norm(batch, self.add_self_loops)
+            out = spmm(s, r, w, h, batch.num_nodes)
+            out = jnp.where(batch.node_mask[:, None], out, 0.0)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+            out = out + b
+        return out
+
+
+class GraphConv(nn.Module):
+    """``X' = W₁X + W₂·A X`` (PyG ``GraphConv``; default scorer of SAGPooling,
+    reference tgp/poolers/sag.py:17-228)."""
+
+    out_channels: int
+    aggr: str = "add"
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, x: Optional[jax.Array] = None) -> jax.Array:
+        if x is None:
+            x = batch.x
+        root = nn.Dense(self.out_channels, use_bias=True)(x)
+        neigh = spmm(batch.senders, batch.receivers, batch.edge_weight, x,
+                     batch.num_nodes)
+        if self.aggr == "mean":
+            deg = spmm(batch.senders, batch.receivers, batch.edge_weight,
+                       jnp.ones((batch.num_nodes, 1), x.dtype), batch.num_nodes)
+            neigh = neigh / jnp.clip(deg, 1.0, None)
+        neigh = nn.Dense(self.out_channels, use_bias=False)(neigh)
+        out = root + neigh
+        return jnp.where(batch.node_mask[:, None], out, 0.0)

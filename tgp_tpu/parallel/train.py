@@ -1,0 +1,66 @@
+"""Data-parallel training over a device mesh (pjit/shard_map).
+
+The reference has **no** distributed runtime (SURVEY §2.12) — this subsystem
+is new design: graphs are batched per device (same static shapes everywhere),
+the batch pytree is stacked on a leading ``dp`` axis and sharded over the
+mesh, gradients are all-reduced with ``psum`` over ICI, and parameters stay
+replicated.  Edge-partitioned single-graph sharding lives in
+:mod:`tgp_tpu.parallel.spmm` (halo exchange).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "stack_batches", "make_dp_train_step"]
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.asarray(devs[:n]), (axis,))
+
+
+def stack_batches(batches: Sequence[Any]):
+    """Stack per-device pytrees (e.g. :class:`GraphBatch`) on a new leading
+    ``dp`` axis.  All batches must share static metadata."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+
+
+def make_dp_train_step(loss_fn: Callable, tx, mesh: Mesh, axis: str = "dp"):
+    """Build a jitted data-parallel train step.
+
+    ``loss_fn(params, batch, y) -> scalar`` is the per-device loss;
+    the returned step takes ``(params, opt_state, stacked_batch, stacked_y)``
+    with the batch sharded over ``axis`` and params/opt_state replicated,
+    computes per-device grads, ``psum``-averages them over ICI, and applies
+    the update identically on every device.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    def per_device(params, opt_state, batch, y):
+        # leading dp axis of size 1 on each device — drop it
+        batch = jax.tree_util.tree_map(lambda a: a[0], batch)
+        y = y[0]
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, y)
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        updates, opt_state = tx.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    smapped = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis)),
+        out_specs=(P(), P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(smapped)

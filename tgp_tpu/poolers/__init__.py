@@ -1,0 +1,92 @@
+"""Pooler registry and string-alias factory
+(reference: tgp/poolers/__init__.py:56-147).
+
+``get_pooler(alias, **kwargs)`` filters kwargs against the pooler's dataclass
+fields (the reference filters against ``__init__`` signatures via
+``get_signature``) and supports the ``"<alias>_u"`` suffix selecting
+unbatched-dense mode (reference: tgp/poolers/__init__.py:123-130).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Type
+
+from tgp_tpu.src import SRCPooling
+
+_REGISTRY: Dict[str, Type[SRCPooling]] = {}
+
+
+def register_pooler(alias: str, cls=None):
+    """Register a pooler class under a string alias (decorator or call)."""
+    def deco(c):
+        _REGISTRY[alias] = c
+        return c
+
+    if cls is not None:
+        return deco(cls)
+    return deco
+
+
+def _load_all():
+    # Import pooler modules for registration side effects (lazy to keep
+    # package import light, mirroring the reference's lazy __getattr__).
+    import tgp_tpu.poolers.topk  # noqa: F401
+    for mod in (
+        "sag", "asap", "pan", "edge_contraction", "mincut", "diffpool",
+        "dmon", "hosc", "just_balance", "asym_cheeger_cut", "bnpool",
+        "lapool", "maxcut", "kmis", "graclus", "ndp", "sep", "nmf",
+        "eigenpool", "nopool",
+    ):
+        try:
+            __import__(f"tgp_tpu.poolers.{mod}")
+        except ImportError:
+            pass
+
+
+def pooler_map() -> Dict[str, Type[SRCPooling]]:
+    _load_all()
+    return dict(_REGISTRY)
+
+
+def pooler_signature(cls) -> Dict[str, Any]:
+    """Field name → default for a pooler class (the reference's
+    ``get_signature``, tgp/src.py:279-282)."""
+    return {
+        f.name: (None if f.default is dataclasses.MISSING else f.default)
+        for f in dataclasses.fields(cls)
+        if f.name not in ("parent", "name")
+    }
+
+
+def get_pooler(alias: str, **kwargs) -> SRCPooling:
+    """Instantiate a pooler by alias with signature-filtered kwargs."""
+    _load_all()
+    name = alias
+    if name.endswith("_u") and name not in _REGISTRY:
+        name = name[: -len("_u")]
+        kwargs.setdefault("batched", False)
+    if name not in _REGISTRY:
+        raise ValueError(
+            f"unknown pooler {alias!r}; available: {sorted(_REGISTRY)}"
+        )
+    cls = _REGISTRY[name]
+    sig = pooler_signature(cls)
+    init_kwargs = {k: v for k, v in kwargs.items() if k in sig}
+    dropped = set(kwargs) - set(init_kwargs)
+    if dropped:
+        import warnings
+
+        warnings.warn(
+            f"get_pooler({alias!r}): ignoring irrelevant kwargs {sorted(dropped)}"
+        )
+    return cls(**init_kwargs)
+
+
+# register the first pooler
+from tgp_tpu.poolers.topk import TopkPooling  # noqa: E402
+
+register_pooler("topk", TopkPooling)
+
+__all__ = ["get_pooler", "pooler_map", "register_pooler", "pooler_signature",
+           "TopkPooling"]

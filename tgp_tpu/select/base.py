@@ -1,0 +1,183 @@
+"""``SelectOutput`` — the load-bearing data structure of the SRC framework.
+
+TPU re-design of the reference's ``SelectOutput``
+(tgp/select/base_select.py:76-486).  The reference stores ``s`` either as a
+sparse COO ``[N,K]`` tensor or dense ``[N,K]``/``[B,N,K]``; here the dual
+representation is made concrete and static-shape:
+
+* **sparse (hard/partial) assignments** — ``cluster_index [N]`` (global
+  supernode id per node), ``weight [N]``, ``node_sel_mask [N]`` (which nodes
+  participate), plus per-supernode metadata ``cluster_graph``/``cluster_pos``
+  with a static total supernode budget ``num_clusters``.  This replaces the
+  COO triplet (``node_index``/``cluster_index``/``weight``,
+  base_select.py:276-288) — under static shapes *every* node has a slot and
+  validity is a mask, not a shorter index list.
+* **dense (soft) assignments** — ``s [B,N,K]`` (batched) or ``[N,K]``
+  (unbatched multi-graph), with ``in_mask`` for padded rows.
+
+``s_inv`` never needs to be materialized for the transpose case (the default
+``s_inv_op='transpose'``); the Moore–Penrose pseudo-inverse is computed
+lazily in the lift (cf. ``set_s_inv``, base_select.py:290-300).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from tgp_tpu.ops.segment import segment_sum, segment_topk_rank
+
+__all__ = ["SelectOutput", "cluster_to_select_output"]
+
+
+@struct.dataclass
+class SelectOutput:
+    """Output of a ``Select`` operator (sparse or dense layout)."""
+
+    # --- dense soft assignment ---
+    s: Optional[jax.Array] = None  # [B,N,K] batched | [N,K] unbatched
+    in_mask: Optional[jax.Array] = None  # [B,N] (batched dense only)
+
+    # --- sparse hard assignment ---
+    cluster_index: Optional[jax.Array] = None  # [N] int32, global supernode id
+    weight: Optional[jax.Array] = None  # [N]
+    node_sel_mask: Optional[jax.Array] = None  # [N] node is selected/assigned
+
+    # --- carried batch structure ---
+    node_graph: Optional[jax.Array] = None  # [N]
+    node_mask: Optional[jax.Array] = None  # [N]
+    cluster_graph: Optional[jax.Array] = None  # [C] (sparse layout)
+    cluster_pos: Optional[jax.Array] = None  # [C] position within graph
+
+    # --- extra per-method arrays (NDP's L, MaxCut scores, BNPool q_z, ...) ---
+    extras: Dict[str, Any] = struct.field(default_factory=dict)
+
+    # --- static metadata ---
+    num_clusters: int = struct.field(pytree_node=False, default=0)
+    num_graphs: int = struct.field(pytree_node=False, default=1)
+    max_clusters: int = struct.field(pytree_node=False, default=0)
+    s_inv_op: str = struct.field(pytree_node=False, default="transpose")
+    partial: bool = struct.field(pytree_node=False, default=False)
+
+    # ------------------------------------------------------------------
+    @property
+    def is_dense(self) -> bool:
+        return self.s is not None
+
+    @property
+    def is_sparse(self) -> bool:
+        return self.cluster_index is not None
+
+    @property
+    def is_batched_dense(self) -> bool:
+        return self.s is not None and self.s.ndim == 3
+
+    @property
+    def num_nodes(self) -> int:
+        if self.is_sparse:
+            return self.cluster_index.shape[0]
+        return self.s.shape[-2]
+
+    def out_mask(self) -> jax.Array:
+        """Supernode validity (reference: ``out_mask`` via
+        ``get_mask_from_dense_s``, base_select.py:234-253 /
+        tgp/utils/ops.py:85-132).
+
+        Sparse layout → ``[C]`` bool (supernode has ≥1 assigned node);
+        batched dense → ``[B,K]``; unbatched dense → ``[B,K]`` via
+        ``node_graph`` segments.
+        """
+        if self.is_sparse:
+            m = self.node_sel_mask
+            if m is None:
+                m = self.node_mask
+            ones = jnp.ones(self.cluster_index.shape[0], jnp.int32)
+            cnt = segment_sum(ones, self.cluster_index, self.num_clusters, mask=m)
+            return cnt > 0
+        if self.s.ndim == 3:
+            return self.s.sum(-2) > 0
+        # [N,K] unbatched, multi-graph
+        col = segment_sum(self.s, self.node_graph, self.num_graphs,
+                          mask=self.node_mask)
+        return col > 0
+
+    def pooled_node_graph(self) -> jax.Array:
+        """Graph id of each pooled supernode (``reduce_batch``,
+        reference tgp/reduce/base_reduce.py:14-53).  Sparse layout only."""
+        return self.cluster_graph
+
+    def with_extra(self, **kw) -> "SelectOutput":
+        extras = dict(self.extras)
+        extras.update(kw)
+        return self.replace(extras=extras)
+
+
+def cluster_to_select_output(
+    cluster_index: jax.Array,
+    batch,
+    *,
+    weight: Optional[jax.Array] = None,
+    node_sel_mask: Optional[jax.Array] = None,
+    num_clusters: int,
+    max_clusters: int,
+    cluster_graph: Optional[jax.Array] = None,
+    partial: bool = False,
+    s_inv_op: str = "transpose",
+    extras: Optional[Dict[str, Any]] = None,
+) -> SelectOutput:
+    """Build a sparse :class:`SelectOutput` from a cluster-assignment vector
+    (reference: ``cluster_to_s``, tgp/select/base_select.py:19-71).
+
+    ``cluster_index`` maps each node to a global supernode id in
+    ``[0, num_clusters)``; invalid nodes are masked by ``node_sel_mask``
+    (default: the batch's ``node_mask``).  ``cluster_graph`` (graph id per
+    supernode) is derived by scattering node graph ids when not given.
+    """
+    node_graph = batch.node_graph
+    node_mask = batch.node_mask
+    if node_sel_mask is None:
+        node_sel_mask = node_mask
+    else:
+        node_sel_mask = node_sel_mask & node_mask
+    if weight is None:
+        weight = jnp.ones(cluster_index.shape[0], jnp.float32)
+    weight = jnp.where(node_sel_mask, weight, 0.0)
+    ci_safe = jnp.where(node_sel_mask, cluster_index, 0)
+
+    if cluster_graph is None:
+        # graph of a supernode = max over graph ids of its members (all equal)
+        cg = segment_sum(
+            jnp.zeros(ci_safe.shape[0], jnp.int32), ci_safe, num_clusters
+        )
+        cg = jax.ops.segment_max(
+            jnp.where(node_sel_mask, node_graph, -1), ci_safe,
+            num_segments=num_clusters,
+        )
+        cluster_graph = jnp.maximum(cg, 0).astype(jnp.int32)
+
+    # position of each supernode within its graph: rank by supernode id
+    ones = jnp.ones(ci_safe.shape[0], jnp.int32)
+    occupied = segment_sum(ones, ci_safe, num_clusters, mask=node_sel_mask) > 0
+    cluster_pos = segment_topk_rank(
+        -jnp.arange(num_clusters, dtype=jnp.float32), cluster_graph,
+        batch.num_graphs, mask=occupied,
+    )
+
+    return SelectOutput(
+        cluster_index=ci_safe.astype(jnp.int32),
+        weight=weight,
+        node_sel_mask=node_sel_mask,
+        node_graph=node_graph,
+        node_mask=node_mask,
+        cluster_graph=cluster_graph,
+        cluster_pos=cluster_pos.astype(jnp.int32),
+        num_clusters=num_clusters,
+        num_graphs=batch.num_graphs,
+        max_clusters=max_clusters,
+        partial=partial,
+        s_inv_op=s_inv_op,
+        extras=extras or {},
+    )
