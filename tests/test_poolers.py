@@ -1,0 +1,88 @@
+"""Uniform pooler contract tests over all registered aliases
+(reference: tests/test_poolers.py:26-80 — one PARAMS dict, shape invariants,
+forward + lift for every pooler)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tgp_tpu.poolers import get_pooler, pooler_map
+from tests.utils_graphs import make_batch
+
+PARAMS = dict(in_channels=6, ratio=0.5, k=4)
+
+SPARSE_OUT_ALIASES = [
+    "topk", "sag", "ec", "kmis", "graclus", "maxcut", "nopool",
+]
+DENSE_ALIASES = ["mincut", "diff", "dmon", "hosc", "jb", "acc"]
+
+
+@pytest.fixture(scope="module")
+def batch():
+    return make_batch([8, 5, 11], num_features=6, seed=9, weighted=True,
+                      pad_nodes=32, pad_edges=160)
+
+
+def _init_and_run(alias, batch, **extra):
+    pooler = get_pooler(alias, **{**PARAMS, **extra})
+    params = pooler.init(jax.random.key(0), batch)
+    out = pooler.apply(params, batch)
+    return pooler, params, out
+
+
+@pytest.mark.parametrize("alias", SPARSE_OUT_ALIASES)
+def test_sparse_pooler_contract(alias, batch):
+    pooler, params, out = _init_and_run(alias, batch)
+    g = out.graph
+    assert g is not None
+    # pooled mask non-empty, no more supernodes than nodes per graph
+    counts = np.asarray(g.nodes_per_graph())
+    orig = np.asarray(batch.nodes_per_graph())
+    assert (counts >= 1).all()
+    assert (counts <= orig).all()
+    # every valid node assigned to a valid, same-graph supernode
+    so = out.so
+    sel = np.asarray(so.node_sel_mask)
+    ci = np.asarray(so.cluster_index)
+    ng = np.asarray(batch.node_graph)
+    cg = np.asarray(so.cluster_graph)
+    om = np.asarray(so.out_mask())
+    for i in np.nonzero(sel)[0]:
+        assert om[ci[i]], f"{alias}: node {i} → invalid supernode {ci[i]}"
+        assert cg[ci[i]] == ng[i], f"{alias}: cross-graph assignment"
+    # pooled edges within graphs, valid endpoints
+    em, s, r = map(np.asarray, (g.edge_mask, g.senders, g.receivers))
+    gng, gnm = np.asarray(g.node_graph), np.asarray(g.node_mask)
+    for e in np.nonzero(em)[0]:
+        assert gnm[s[e]] and gnm[r[e]]
+        assert gng[s[e]] == gng[r[e]]
+    # finite outputs
+    assert np.isfinite(np.asarray(g.x)).all()
+    for v in out.loss.values():
+        assert np.isfinite(float(v))
+
+
+@pytest.mark.parametrize("alias", SPARSE_OUT_ALIASES)
+def test_sparse_pooler_lift(alias, batch):
+    pooler, params, out = _init_and_run(alias, batch)
+    x_lift = pooler.apply(params, batch, so=out.so, lifting=True,
+                          x=out.graph.x)
+    assert x_lift.shape == batch.x.shape
+    assert np.isfinite(np.asarray(x_lift)).all()
+
+
+@pytest.mark.parametrize("alias", ["kmis", "graclus", "maxcut", "ec"])
+def test_total_assignment_covers_all_nodes(alias, batch):
+    pooler, params, out = _init_and_run(alias, batch)
+    so = out.so
+    sel = np.asarray(so.node_sel_mask)
+    nm = np.asarray(batch.node_mask)
+    # total assignments: every valid node is assigned
+    np.testing.assert_array_equal(sel, nm)
+
+
+def test_registry_complete():
+    aliases = set(pooler_map())
+    for a in SPARSE_OUT_ALIASES + DENSE_ALIASES:
+        assert a in aliases, a

@@ -1,0 +1,114 @@
+"""Total-assignment machinery: upgrade a partial (top-k style) selection to a
+full node→supernode assignment by BFS-style majority-vote propagation with a
+fallback for disconnected remainders.
+
+TPU re-design of the reference's ``propagate_assignments_sparse`` /
+``get_assignments`` (tgp/utils/ops.py:1222-1441): the reference's
+sort + ``unique`` vote counting becomes a fixed-shape double lexsort
+(run-length counting, then best-run selection per destination), unrolled
+``max_iter`` times under ``jit``.  The reference's *random* fallback for
+still-unassigned nodes is replaced by a deterministic "first supernode of the
+same graph" fallback (or seeded pseudo-random with ``key``) — randomness
+inside jit would thread PRNG keys through every pooler for a path that only
+triggers on disconnected leftovers.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tgp_tpu.ops.segment import segment_max, segment_min, segment_sum
+
+__all__ = ["propagate_assignments_step", "assign_all_nodes"]
+
+
+def propagate_assignments_step(cluster_index, assigned, senders, receivers,
+                               edge_mask, num_clusters: int):
+    """One propagation round: every unassigned node adopts the majority
+    cluster among its *assigned* in-neighbors (ties → smallest cluster id).
+
+    Returns updated ``(cluster_index, assigned)``.
+    """
+    E = senders.shape[0]
+    N = cluster_index.shape[0]
+    votes_valid = edge_mask & assigned[senders] & ~assigned[receivers]
+    dst = jnp.where(votes_valid, receivers, N)  # invalid → sentinel N
+    c_vote = jnp.where(votes_valid, cluster_index[senders], num_clusters)
+
+    # 1) group identical (dst, cluster) votes: sort then run-length count
+    order = jnp.lexsort((c_vote, dst))
+    d_s, c_s = dst[order], c_vote[order]
+    is_head = jnp.concatenate(
+        [jnp.ones(1, bool), (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])]
+    )
+    run_id = jnp.cumsum(is_head.astype(jnp.int32)) - 1
+    run_count = segment_sum(jnp.ones(E, jnp.int32), run_id, E)
+    cnt = run_count[run_id]
+
+    # 2) among runs of the same dst pick (max count, then smallest cluster):
+    #    rank run-heads by (-count, cluster) within dst
+    head_valid = is_head & (d_s < N)
+    order2 = jnp.lexsort((c_s, -cnt, ~head_valid, d_s))
+    d2 = d_s[order2]
+    c2 = c_s[order2]
+    v2 = head_valid[order2]
+    best = jnp.concatenate([jnp.ones(1, bool), d2[1:] != d2[:-1]]) & v2
+
+    new_cluster = cluster_index
+    new_assigned = assigned
+    upd_dst = jnp.where(best, d2, N)
+    upd_c = jnp.where(best, c2, 0)
+    # scatter updates (sentinel N row is dropped via padding trick)
+    pad_cluster = jnp.concatenate([new_cluster, jnp.zeros(1, new_cluster.dtype)])
+    pad_assigned = jnp.concatenate([new_assigned, jnp.zeros(1, bool)])
+    pad_cluster = pad_cluster.at[upd_dst].set(upd_c.astype(new_cluster.dtype))
+    pad_assigned = pad_assigned.at[upd_dst].set(best)
+    # merge: only previously-unassigned nodes change
+    changed = pad_assigned[:N] & ~assigned
+    new_cluster = jnp.where(changed, pad_cluster[:N], cluster_index)
+    new_assigned = assigned | changed
+    return new_cluster, new_assigned
+
+
+def assign_all_nodes(so, senders, receivers, edge_mask, *,
+                     max_iter: int = 5, weight: Optional[jax.Array] = None):
+    """Upgrade a partial :class:`~tgp_tpu.select.SelectOutput` to a total
+    assignment (reference: ``SelectOutput.assign_all_nodes``,
+    tgp/select/base_select.py:381-486).
+
+    Propagates ``max_iter`` rounds, then assigns any remaining valid node to
+    the first (lowest-id) occupied supernode of its graph.  ``weight``
+    replaces the per-node assignment weight (MaxCut passes its scores).
+    """
+    cluster_index = so.cluster_index
+    assigned = so.node_sel_mask
+    for _ in range(max_iter):
+        cluster_index, assigned = propagate_assignments_step(
+            cluster_index, assigned, senders, receivers, edge_mask,
+            so.num_clusters)
+
+    # fallback: first occupied supernode of the node's graph
+    occupied = segment_sum(
+        jnp.ones_like(cluster_index), cluster_index, so.num_clusters,
+        mask=assigned) > 0
+    C = so.num_clusters
+    first_in_graph = segment_min(
+        jnp.arange(C, dtype=jnp.int32), so.cluster_graph, so.num_graphs,
+        mask=occupied)
+    first_in_graph = jnp.clip(first_in_graph, 0, C - 1)
+    fallback = first_in_graph[so.node_graph]
+    remaining = so.node_mask & ~assigned
+    cluster_index = jnp.where(remaining, fallback, cluster_index)
+    assigned = assigned | remaining
+
+    w = weight if weight is not None else jnp.ones_like(so.weight)
+    w = jnp.where(assigned & so.node_mask, w, 0.0)
+    return so.replace(
+        cluster_index=cluster_index.astype(jnp.int32),
+        node_sel_mask=assigned & so.node_mask,
+        weight=w,
+        partial=False,
+    )

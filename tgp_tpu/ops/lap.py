@@ -1,0 +1,77 @@
+"""Laplacian-derived propagation matrices (device-side, static shapes).
+
+* :func:`delta_gcn_matrix` — ``P = I − δ·L_sym`` heterophilic propagation for
+  MaxCutPool (reference: tgp/utils/ops.py:1061-1149; Abate & Bianchi 2025).
+* :func:`laplacian` — (weighted, optionally sym-normalized) graph Laplacian
+  as masked COO with an ``E+N`` static edge budget.
+* :func:`lobpcg_max_eigvec` — dominant-eigenvector solver (power iteration on
+  a shifted operator) used by NDP's spectral partitioning (reference uses
+  ``torch.lobpcg``, tgp/select/ndp_select.py:186-259).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tgp_tpu.ops.sparse import spmm, weighted_degree
+
+__all__ = ["delta_gcn_matrix", "laplacian", "power_iteration_max_eigvec"]
+
+
+def laplacian(senders, receivers, edge_weight, edge_mask, node_mask,
+              num_nodes: int, normalization: Optional[str] = None):
+    """L = D − A (or sym-normalized ``I − D^{-1/2} A D^{-1/2}``) as masked COO
+    with budget ``E+N`` (off-diagonal entries are ``−A``; diagonal appended)."""
+    w = jnp.where(edge_mask, edge_weight, 0.0)
+    deg = weighted_degree(senders, w, num_nodes)
+    if normalization == "sym":
+        dinv = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0.0)
+        off_w = -w * dinv[senders] * dinv[receivers]
+        diag_w = jnp.where(node_mask & (deg > 0), 1.0, 0.0)
+    else:
+        off_w = -w
+        diag_w = jnp.where(node_mask, deg, 0.0)
+    loops = jnp.arange(num_nodes, dtype=senders.dtype)
+    s = jnp.concatenate([senders, loops])
+    r = jnp.concatenate([receivers, loops])
+    lw = jnp.concatenate([off_w, diag_w])
+    m = jnp.concatenate([edge_mask, node_mask])
+    return s, r, lw, m
+
+
+def delta_gcn_matrix(senders, receivers, edge_weight, edge_mask, node_mask,
+                     num_nodes: int, delta: float = 2.0):
+    """``P = I − δ·L_sym = (1−δ)·I + δ·D^{-1/2} A D^{-1/2}`` (masked COO,
+    budget ``E+N``)."""
+    w = jnp.where(edge_mask, edge_weight, 0.0)
+    deg = weighted_degree(senders, w, num_nodes)
+    dinv = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0.0)
+    off_w = delta * w * dinv[senders] * dinv[receivers]
+    # isolated nodes have L_sym diagonal 0 → P diagonal 1
+    diag_w = jnp.where(node_mask & (deg > 0), 1.0 - delta, 0.0) + jnp.where(
+        node_mask & (deg <= 0), 1.0, 0.0)
+    loops = jnp.arange(num_nodes, dtype=senders.dtype)
+    s = jnp.concatenate([senders, loops])
+    r = jnp.concatenate([receivers, loops])
+    pw = jnp.concatenate([off_w, diag_w])
+    m = jnp.concatenate([edge_mask, node_mask])
+    return s, r, pw, m
+
+
+def power_iteration_max_eigvec(senders, receivers, edge_weight, num_nodes: int,
+                               num_iters: int = 100, seed: int = 0
+                               ) -> jax.Array:
+    """Dominant eigenvector of a (symmetric) masked-COO operator via power
+    iteration — the device-side stand-in for ``torch.lobpcg(k=1)``."""
+    key = jax.random.key(seed)
+    v = jax.random.normal(key, (num_nodes, 1))
+
+    def body(_, v):
+        v = spmm(senders, receivers, edge_weight, v, num_nodes)
+        return v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+
+    v = jax.lax.fori_loop(0, num_iters, body, v)
+    return v[:, 0]

@@ -1,0 +1,70 @@
+"""MaxCutPool (reference: tgp/poolers/maxcut.py:100-270; Abate & Bianchi,
+ICLR 2025).  MaxCutSelect / BaseReduce / SparseConnect (always on the full
+assignment) / BaseLift, with the ``maxcut_loss`` −zᵀAz/vol."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import jax
+
+from tgp_tpu.connect.base import ConnectConfig
+from tgp_tpu.graph import GraphBatch
+from tgp_tpu.losses import maxcut_loss
+from tgp_tpu.poolers import register_pooler
+from tgp_tpu.select.base import SelectOutput
+from tgp_tpu.select.maxcut import _DEFAULT_MP, MaxCutSelect
+from tgp_tpu.src import PoolingOutput, SRCPooling
+
+__all__ = ["MaxCutPooling"]
+
+
+@register_pooler("maxcut")
+class MaxCutPooling(SRCPooling):
+    in_channels: int = 0
+    ratio: Union[int, float] = 0.5
+    loss_coeff: float = 1.0
+    max_iter: int = 5
+    mp_units: Sequence[int] = _DEFAULT_MP
+    mp_act: str = "tanh"
+    mlp_units: Sequence[int] = (16, 16)
+    mlp_act: str = "relu"
+    delta: float = 2.0
+    s_inv_op: str = "transpose"
+    connect_red_op: str = "sum"
+    remove_self_loops: bool = True
+    degree_norm: bool = False
+    edge_weight_norm: bool = False
+
+    IS_TRAINABLE = True
+    HAS_LOSS = True
+
+    def setup(self):
+        self.selector = MaxCutSelect(
+            in_channels=self.in_channels, ratio=self.ratio,
+            do_assign_all_nodes=True, max_iter=self.max_iter,
+            mp_units=self.mp_units, mp_act=self.mp_act,
+            mlp_units=self.mlp_units, mlp_act=self.mlp_act,
+            delta=self.delta, s_inv_op=self.s_inv_op,
+        )
+
+    def __call__(self, batch: GraphBatch, *, so: Optional[SelectOutput] = None,
+                 lifting: bool = False, x: Optional[jax.Array] = None):
+        if lifting:
+            return self.lift(x if x is not None else batch.x, so)
+        if so is None:
+            so = self.selector(batch)
+        loss = {
+            "maxcut_loss": self.loss_coeff * maxcut_loss(
+                so.extras["scores"], batch.senders, batch.receivers,
+                batch.edge_weight, batch.node_graph, batch.num_graphs)
+        }
+        x_pool = self.reduce(batch.x, so)
+        edges = self.connect(batch, so, ConnectConfig(
+            reduce_op=self.connect_red_op,
+            remove_self_loops=self.remove_self_loops,
+            degree_norm=self.degree_norm,
+            edge_weight_norm=self.edge_weight_norm,
+        ))
+        return PoolingOutput(so=so, loss=loss,
+                             graph=self.pooled_graph(x_pool, edges, so, batch))

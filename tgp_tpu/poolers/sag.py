@@ -1,0 +1,66 @@
+"""SAGPooling (reference: tgp/poolers/sag.py:17-228; Lee et al., ICML 2019):
+top-k selection on a GNN-computed attention score ``a = GNN(X, A)``."""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tgp_tpu.connect.base import ConnectConfig
+from tgp_tpu.graph import GraphBatch
+from tgp_tpu.mp.gcn import GraphConv
+from tgp_tpu.select.base import SelectOutput
+from tgp_tpu.select.topk import topk_select_from_scores
+from tgp_tpu.src import PoolingOutput, SRCPooling
+from tgp_tpu.utils.activations import resolve_activation
+
+from tgp_tpu.poolers import register_pooler
+
+__all__ = ["SAGPooling"]
+
+
+@register_pooler("sag")
+class SAGPooling(SRCPooling):
+    in_channels: int = 0
+    ratio: Union[int, float] = 0.5
+    min_score: Optional[float] = None
+    multiplier: float = 1.0
+    nonlinearity: Union[str, Callable, None] = "tanh"
+    s_inv_op: str = "transpose"
+    connect_red_op: str = "sum"
+    remove_self_loops: bool = True
+    degree_norm: bool = False
+    edge_weight_norm: bool = False
+
+    IS_TRAINABLE = True
+
+    def setup(self):
+        self.gnn = GraphConv(1)
+
+    def __call__(self, batch: GraphBatch, *, so: Optional[SelectOutput] = None,
+                 lifting: bool = False, x: Optional[jax.Array] = None,
+                 attn: Optional[jax.Array] = None):
+        if lifting:
+            return self.lift(x if x is not None else batch.x, so)
+        if so is None:
+            score = self.gnn(batch, attn)[:, 0]
+            if self.min_score is None:
+                score = resolve_activation(self.nonlinearity)(score)
+            else:
+                from tgp_tpu.ops.segment import segment_softmax
+
+                score = segment_softmax(score, batch.node_graph,
+                                        batch.num_graphs, mask=batch.node_mask)
+            so = topk_select_from_scores(
+                score, batch, self.ratio, self.min_score, self.s_inv_op)
+        x_pool = self.reduce(batch.x, so) * self.multiplier
+        edges = self.connect(batch, so, ConnectConfig(
+            reduce_op=self.connect_red_op,
+            remove_self_loops=self.remove_self_loops,
+            degree_norm=self.degree_norm,
+            edge_weight_norm=self.edge_weight_norm,
+        ))
+        return PoolingOutput(so=so, graph=self.pooled_graph(x_pool, edges, so, batch))

@@ -1,0 +1,160 @@
+"""k-MIS selection (reference: tgp/select/kmis_select.py:35-388; Bacciu et
+al. 2023, generalizing Blelloch's parallel MIS).
+
+TPU design: the reference's data-dependent ``while not mask.all()`` loop over
+``scatter_min`` rounds maps directly onto ``lax.while_loop`` (static shapes,
+traced condition).  Padded nodes start *covered* with infinite rank so they
+can neither join nor block the MIS.  Supernode ids are the MIS members' own
+node indices (budget ``N``), so ``cluster_graph``/``cluster_pos`` come free
+from the batch metadata.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tgp_tpu.graph import GraphBatch
+from tgp_tpu.ops.segment import segment_min, segment_sum
+from tgp_tpu.ops.sparse import weighted_degree
+from tgp_tpu.select.base import SelectOutput
+
+__all__ = ["maximal_independent_set", "mis_cluster", "KMISSelect"]
+
+
+def _khop_min(vals, senders, receivers, edge_mask, num_nodes, k):
+    """k rounds of min-propagation over edges ∪ self-loops."""
+    def one(vals):
+        src = jnp.where(edge_mask, vals[senders], jnp.iinfo(jnp.int32).max)
+        neigh = segment_min(src, receivers, num_nodes)
+        return jnp.minimum(neigh, vals)
+
+    for _ in range(k):
+        vals = one(vals)
+    return vals
+
+
+def _khop_or(flags, senders, receivers, edge_mask, num_nodes, k):
+    def one(flags):
+        src = (flags[senders] & edge_mask).astype(jnp.int32)
+        neigh = segment_sum(src, receivers, num_nodes) > 0
+        return flags | neigh
+
+    for _ in range(k):
+        flags = one(flags)
+    return flags
+
+
+def maximal_independent_set(rank, senders, receivers, edge_mask, node_mask,
+                            order_k: int = 1):
+    """Greedy maximal k-independent set by ``rank`` (lower = first)."""
+    N = rank.shape[0]
+    BIG = jnp.int32(N)
+    rank = jnp.where(node_mask, rank, BIG)
+
+    def cond(state):
+        mis, covered, min_rank = state
+        return ~jnp.all(covered)
+
+    def body(state):
+        mis, covered, min_rank = state
+        mr = _khop_min(min_rank, senders, receivers, edge_mask, N, order_k)
+        mis = mis | (node_mask & (rank == mr))
+        covered2 = _khop_or(mis, senders, receivers, edge_mask, N, order_k)
+        covered2 = covered2 | ~node_mask | mis
+        min_rank2 = jnp.where(covered2, BIG, rank)
+        return mis, covered2, min_rank2
+
+    mis0 = jnp.zeros(N, bool)
+    covered0 = ~node_mask
+    state = (mis0, covered0, rank)
+    mis, _, _ = jax.lax.while_loop(cond, body, state)
+    return mis
+
+
+def mis_cluster(mis, rank, senders, receivers, edge_mask, node_mask,
+                order_k: int = 1):
+    """Assign every node to its nearest (min-rank within k hops) MIS member;
+    returns ``cluster_index [N]`` = representative node index."""
+    N = rank.shape[0]
+    BIG = jnp.int32(N)
+    min_rank = jnp.where(mis, rank, BIG)
+    min_rank = _khop_min(min_rank, senders, receivers, edge_mask, N, order_k)
+    # rank → node index lookup (ranks are a permutation of 0..N-1 on valid
+    # nodes; pad slot N absorbs BIG)
+    inv = jnp.zeros(N + 1, jnp.int32).at[jnp.clip(rank, 0, N)].set(
+        jnp.arange(N, dtype=jnp.int32))
+    cluster = inv[jnp.clip(min_rank, 0, N)]
+    # unreached nodes (min_rank == BIG) map to themselves
+    unreached = (min_rank >= BIG) & node_mask
+    cluster = jnp.where(unreached, jnp.arange(N, dtype=jnp.int32), cluster)
+    return cluster
+
+
+class KMISSelect(nn.Module):
+    """Scorer + heuristic + k-MIS clustering."""
+
+    in_channels: Optional[int] = None
+    order_k: int = 1
+    scorer: str = "linear"
+    score_heuristic: Optional[str] = "greedy"
+    s_inv_op: str = "transpose"
+
+    def _score(self, batch: GraphBatch) -> jax.Array:
+        if self.scorer == "linear":
+            return jax.nn.sigmoid(nn.Dense(1, name="lin")(batch.x)[:, 0])
+        if self.scorer == "constant":
+            return jnp.ones(batch.num_nodes)
+        if self.scorer == "canonical":
+            return -jnp.arange(batch.num_nodes, dtype=jnp.float32)
+        if self.scorer == "degree":
+            return weighted_degree(batch.receivers, batch.edge_weight,
+                                   batch.num_nodes, mask=batch.edge_mask)
+        if self.scorer == "random":
+            # deterministic pseudo-random from node index (jit-safe)
+            return jnp.sin(jnp.arange(batch.num_nodes) * 12.9898) * 43758.5453 % 1.0
+        raise ValueError(f"unknown scorer {self.scorer!r}")
+
+    def _heuristic(self, score, batch: GraphBatch) -> jax.Array:
+        if self.score_heuristic is None:
+            return score
+        k_sums = (jnp.ones_like(score) if self.score_heuristic == "greedy"
+                  else score)
+        for _ in range(self.order_k):
+            src = jnp.where(batch.edge_mask, k_sums[batch.senders], 0.0)
+            k_sums = k_sums + segment_sum(src, batch.receivers,
+                                          batch.num_nodes)
+        return score / jnp.maximum(k_sums, 1e-12)
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch) -> SelectOutput:
+        score = self._score(batch)
+        updated = self._heuristic(score, batch)
+        # rank by descending updated score; padded nodes last
+        order = jnp.lexsort((-updated, ~batch.node_mask))
+        rank = jnp.zeros(batch.num_nodes, jnp.int32).at[order].set(
+            jnp.arange(batch.num_nodes, dtype=jnp.int32))
+        mis = maximal_independent_set(
+            rank, batch.senders, batch.receivers, batch.edge_mask,
+            batch.node_mask, self.order_k)
+        cluster = mis_cluster(
+            mis, rank, batch.senders, batch.receivers, batch.edge_mask,
+            batch.node_mask, self.order_k)
+        return SelectOutput(
+            cluster_index=cluster,
+            weight=jnp.where(batch.node_mask, score, 0.0),
+            node_sel_mask=batch.node_mask,
+            node_graph=batch.node_graph,
+            node_mask=batch.node_mask,
+            cluster_graph=batch.node_graph,
+            cluster_pos=batch.node_pos,
+            num_clusters=batch.num_nodes,
+            num_graphs=batch.num_graphs,
+            max_clusters=batch.max_nodes,
+            partial=False,
+            s_inv_op=self.s_inv_op,
+            extras={"mis": mis},
+        )

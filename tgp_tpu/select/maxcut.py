@@ -1,0 +1,88 @@
+"""MaxCut selection (reference: tgp/select/maxcut_select.py:18-308; Abate &
+Bianchi, ICLR 2025).
+
+``MaxCutScoreNet``: Linear → stack of GCN propagations over the δ-GCN matrix
+``P = I − δ·L_sym`` (heterophilic) → MLP → tanh score.  Selection = top-k on
+the score, then :func:`~tgp_tpu.ops.assignment.assign_all_nodes` upgrades the
+partial selection to a total assignment; scores are stored in ``extras`` for
+the maxcut loss.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tgp_tpu.graph import GraphBatch
+from tgp_tpu.ops.assignment import assign_all_nodes
+from tgp_tpu.ops.lap import delta_gcn_matrix
+from tgp_tpu.ops.sparse import spmm
+from tgp_tpu.select.base import SelectOutput
+from tgp_tpu.select.topk import topk_select_from_scores
+from tgp_tpu.utils.activations import resolve_activation
+
+__all__ = ["MaxCutScoreNet", "MaxCutSelect"]
+
+_DEFAULT_MP = (32, 32, 32, 32, 16, 16, 16, 16, 8, 8, 8, 8)
+
+
+class MaxCutScoreNet(nn.Module):
+    in_channels: int = 0
+    mp_units: Sequence[int] = _DEFAULT_MP
+    mp_act: str = "tanh"
+    mlp_units: Sequence[int] = (16, 16)
+    mlp_act: str = "relu"
+    act: str = "tanh"
+    delta: float = 2.0
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch) -> jax.Array:
+        s, r, w, m = delta_gcn_matrix(
+            batch.senders, batch.receivers, batch.edge_weight, batch.edge_mask,
+            batch.node_mask, batch.num_nodes, self.delta)
+        w = jnp.where(m, w, 0.0)
+        x = nn.Dense(self.in_channels)(batch.x)
+        a_mp = resolve_activation(self.mp_act)
+        for width in self.mp_units:
+            # GCNConv(normalize=False) over P: x' = P · X W
+            h = nn.Dense(width, use_bias=True)(x)
+            x = a_mp(spmm(s, r, w, h, batch.num_nodes))
+        a_mlp = resolve_activation(self.mlp_act)
+        for width in self.mlp_units:
+            x = a_mlp(nn.Dense(width)(x))
+        score = nn.Dense(1)(x)
+        return resolve_activation(self.act)(score[:, 0])
+
+
+class MaxCutSelect(nn.Module):
+    in_channels: int = 0
+    ratio: Union[int, float] = 0.5
+    do_assign_all_nodes: bool = True
+    max_iter: int = 5
+    mp_units: Sequence[int] = _DEFAULT_MP
+    mp_act: str = "tanh"
+    mlp_units: Sequence[int] = (16, 16)
+    mlp_act: str = "relu"
+    act: str = "tanh"
+    delta: float = 2.0
+    min_score: Optional[float] = None
+    s_inv_op: str = "transpose"
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch) -> SelectOutput:
+        scores = MaxCutScoreNet(
+            in_channels=self.in_channels, mp_units=self.mp_units,
+            mp_act=self.mp_act, mlp_units=self.mlp_units,
+            mlp_act=self.mlp_act, act=self.act, delta=self.delta,
+        )(batch)
+        scores = jnp.where(batch.node_mask, scores, 0.0)
+        so = topk_select_from_scores(
+            scores, batch, self.ratio, self.min_score, self.s_inv_op)
+        if self.do_assign_all_nodes:
+            so = assign_all_nodes(
+                so, batch.senders, batch.receivers, batch.edge_mask,
+                max_iter=self.max_iter, weight=scores)
+        return so.with_extra(scores=scores)
