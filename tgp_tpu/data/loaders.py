@@ -64,7 +64,7 @@ class GraphLoader:
     def __len__(self) -> int:
         return (len(self.graphs) + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self) -> Iterator:
+    def _iter_with_indices(self) -> Iterator:
         order = np.arange(len(self.graphs))
         if self.shuffle:
             self.rng.shuffle(order)
@@ -78,7 +78,12 @@ class GraphLoader:
                 pad_nodes=self.pad_nodes, pad_edges=self.pad_edges,
                 max_nodes=self.max_nodes,
             )
-            if self.labels is not None:
-                yield batch, np.asarray(self.labels[idx])
+            y = None if self.labels is None else np.asarray(self.labels[idx])
+            yield batch, y, idx
+
+    def __iter__(self) -> Iterator:
+        for batch, y, _ in self._iter_with_indices():
+            if y is not None:
+                yield batch, y
             else:
                 yield batch

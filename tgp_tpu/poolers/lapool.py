@@ -1,0 +1,56 @@
+"""LaPooling (reference: tgp/poolers/lapool.py:14-249; Noutahi et al. 2019).
+LaPoolSelect / BaseReduce / DenseConnect / BaseLift — non-trainable but
+feature-dependent, so it runs on device (unbatched-dense S layout)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+from tgp_tpu.connect.base import dense_connect_unbatched
+from tgp_tpu.graph import DenseGraphBatch, GraphBatch
+from tgp_tpu.ops.sparse import postprocess_adj_dense
+from tgp_tpu.poolers import register_pooler
+from tgp_tpu.reduce.base import reduce_dense_unbatched
+from tgp_tpu.select.base import SelectOutput
+from tgp_tpu.select.lapool import lapool_select
+from tgp_tpu.src import DenseSRCPooling, PoolingOutput
+
+__all__ = ["LaPooling"]
+
+
+@register_pooler("lap")
+class LaPooling(DenseSRCPooling):
+    shortest_path_reg: bool = False
+    remove_self_loops: bool = True
+    degree_norm: bool = False
+    edge_weight_norm: bool = False
+    s_inv_op: str = "transpose"
+    sparse_output: bool = False
+
+    IS_TRAINABLE = False
+
+    def __call__(self, batch: GraphBatch, *, so: Optional[SelectOutput] = None,
+                 lifting: bool = False, x: Optional[jax.Array] = None):
+        if lifting:
+            return self.lift(x if x is not None else batch.x, so)
+        if so is None:
+            so = lapool_select(batch, shortest_path_reg=self.shortest_path_reg,
+                               s_inv_op=self.s_inv_op)
+        x_pool = reduce_dense_unbatched(
+            batch.x, so.s, batch.node_graph, batch.num_graphs,
+            batch.node_mask)
+        adj_pool = dense_connect_unbatched(
+            batch.senders, batch.receivers, batch.edge_weight, so.s,
+            batch.node_graph, batch.num_graphs, batch.node_mask)
+        adj_pool = postprocess_adj_dense(
+            adj_pool,
+            remove_self_loops_flag=self.remove_self_loops,
+            degree_norm=self.degree_norm,
+            edge_weight_norm=self.edge_weight_norm,
+        )
+        out = DenseGraphBatch(x=x_pool, adj=adj_pool, mask=so.out_mask())
+        if self.sparse_output:
+            return PoolingOutput(so=so, graph=self.finalize_sparse_output(out))
+        return PoolingOutput(so=so, dense=out)

@@ -1,0 +1,85 @@
+"""EigenPool level function (reference: ``eigenpool_select`` driver,
+tgp/select/eigenpool_select.py:82-467; Ma et al., KDD 2019).
+
+Spectral clustering → hard partition Ω; pooling operator Θ ∈ [N, H·K]
+stacking the first ``H`` eigenvectors of each cluster's subgraph Laplacian
+(sign-fixed: first nonzero entry positive; columns indexed mode-major
+``h·K + c``); pooled connectivity ``A' = Ωᵀ(A − A_int)Ω`` where ``A_int``
+keeps only intra-cluster edges (reference: EigenPoolConnect,
+tgp/connect/eigenpool_conn.py:19-321).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from tgp_tpu.precoarsen.common import csr_to_edge_index, to_csr
+
+__all__ = ["eigenpool_level"]
+
+
+def _subgraph_eigvecs(A_sub: np.ndarray, H: int) -> np.ndarray:
+    n = A_sub.shape[0]
+    deg = A_sub.sum(1)
+    L = np.diag(deg) - A_sub
+    w, v = np.linalg.eigh(L)
+    out = np.zeros((n, H))
+    h_eff = min(H, n)
+    vecs = v[:, :h_eff]  # smallest eigenvalues first
+    # sign fix: first nonzero entry positive (reference
+    # eigenpool_select.py:146-149 determinism trick)
+    for j in range(h_eff):
+        col = vecs[:, j]
+        nz = np.nonzero(np.abs(col) > 1e-12)[0]
+        if nz.size and col[nz[0]] < 0:
+            col = -col
+        out[:, j] = col
+    return out
+
+
+def eigenpool_level(edge_index, num_nodes, edge_weight=None, *, k: int = 8,
+                    num_modes: int = 3, seed: int = 0) -> dict:
+    from sklearn.cluster import SpectralClustering
+
+    A = to_csr(edge_index, num_nodes, edge_weight)
+    A = A.maximum(A.T)
+    Ad = A.toarray()
+    k_eff = min(k, num_nodes)
+    if k_eff <= 1 or num_nodes <= 2:
+        labels = np.zeros(num_nodes, np.int64)
+        k_eff = 1
+    else:
+        scl = SpectralClustering(
+            n_clusters=k_eff, affinity="precomputed", random_state=seed,
+            assign_labels="discretize")
+        labels = scl.fit_predict(Ad + 1e-12)
+
+    H = num_modes
+    K = k  # fixed_k collation width (reference eigenpool.py:253-273)
+    theta = np.zeros((num_nodes, H * K), np.float32)
+    for c in range(k_eff):
+        nodes = np.nonzero(labels == c)[0]
+        if nodes.size == 0:
+            continue
+        vecs = _subgraph_eigvecs(Ad[np.ix_(nodes, nodes)], H)
+        for h in range(H):
+            theta[nodes, h * K + c] = vecs[:, h]
+
+    # pooled adjacency: Ωᵀ (A − A_int) Ω
+    omega = np.zeros((num_nodes, K), np.float32)
+    omega[np.arange(num_nodes), labels] = 1.0
+    inter = Ad * (labels[:, None] != labels[None, :])
+    A_pool = omega.T @ inter @ omega
+    np.fill_diagonal(A_pool, 0.0)
+    ei_pool, ew_pool = csr_to_edge_index(sp.csr_matrix(A_pool))
+    return {
+        "kind": "eigen",
+        "cluster_index": labels.astype(np.int64),
+        "theta": theta,
+        "num_modes": H,
+        "num_clusters": K,
+        "edge_index": ei_pool,
+        "edge_weight": ew_pool,
+        "partial": False,
+    }

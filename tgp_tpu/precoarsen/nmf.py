@@ -1,0 +1,49 @@
+"""NMF pooling level function (reference: ``NMFSelect``,
+tgp/select/nmf_select.py:14-226; Bacciu & Di Sotto 2019).
+
+``A ≈ WH`` via sklearn ``non_negative_factorization``; soft assignment
+``S = softmax(Hᵀ)`` padded to a fixed ``k`` for collation; pooled
+connectivity ``A' = SᵀAS`` sparsified (the reference's ``preconnector`` with
+``sparse_output=True``, tgp/poolers/nmf.py:134-140).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from tgp_tpu.precoarsen.common import csr_to_edge_index, to_csr
+
+__all__ = ["nmf_level"]
+
+
+def nmf_level(edge_index, num_nodes, edge_weight=None, *, k: int = 8,
+              seed: int = 0, prune_eps: float = 1e-6) -> dict:
+    from sklearn.decomposition import non_negative_factorization
+
+    A = to_csr(edge_index, num_nodes, edge_weight)
+    A = A.maximum(A.T)
+    k_eff = min(k, num_nodes)
+    W, H, _ = non_negative_factorization(
+        A.toarray(), n_components=k_eff, init="random", random_state=seed,
+        max_iter=400)
+    # S = softmax over clusters of Hᵀ [n, k_eff]
+    logits = H.T
+    logits = logits - logits.max(1, keepdims=True)
+    S = np.exp(logits)
+    S = S / np.clip(S.sum(1, keepdims=True), 1e-12, None)
+    if k_eff < k:  # fixed_k padding for collation (reference nmf_select pad)
+        S = np.concatenate([S, np.zeros((num_nodes, k - k_eff))], axis=1)
+
+    A_pool = S.T @ A.toarray() @ S
+    np.fill_diagonal(A_pool, 0.0)
+    A_pool[np.abs(A_pool) < prune_eps] = 0.0
+    ei_pool, ew_pool = csr_to_edge_index(sp.csr_matrix(A_pool))
+    return {
+        "kind": "dense",
+        "s": S.astype(np.float32),
+        "num_clusters": k,
+        "edge_index": ei_pool,
+        "edge_weight": ew_pool,
+        "partial": False,
+    }

@@ -1,0 +1,92 @@
+"""LaPool selection (reference: tgp/select/lapool_select.py:81-426; Noutahi
+et al. 2019).
+
+Leaders = strict local maxima of the Laplacian-smoothness signal
+``v = ‖(LX)_i‖₂``; follower nodes are soft-assigned to their graph's leaders
+by cosine similarity with a masked softmax (the reference's sparse softmax
+over the dense ``[N, num_leaders]`` cosine matrix,
+lapool_select.py:26-78).  TPU layout: leaders take per-graph slots
+``[0, Kmax)`` (``Kmax = max_nodes`` worst case), giving an unbatched-dense
+``S [N, Kmax]`` with invalid slots masked.
+
+The optional shortest-path β regularization (scipy ``csgraph`` on CPU in
+the reference) is not implemented on-device; ``shortest_path_reg`` must stay
+False under jit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tgp_tpu.graph import GraphBatch
+from tgp_tpu.ops.segment import segment_max, segment_topk_rank
+from tgp_tpu.ops.sparse import spmm, weighted_degree
+from tgp_tpu.select.base import SelectOutput
+
+__all__ = ["lapool_select"]
+
+
+def lapool_select(batch: GraphBatch, *, shortest_path_reg: bool = False,
+                  s_inv_op: str = "transpose") -> SelectOutput:
+    if shortest_path_reg:
+        raise NotImplementedError(
+            "shortest_path_reg runs on host only (scipy csgraph); "
+            "precompute it offline")
+    N = batch.num_nodes
+    B = batch.num_graphs
+    Kmax = batch.max_nodes
+    x = batch.x
+    s, r, w, em = (batch.senders, batch.receivers, batch.edge_weight,
+                   batch.edge_mask)
+
+    # v = ‖(L X)_i‖₂,  LX = D X − A X
+    deg = weighted_degree(s, jnp.where(em, w, 0.0), N)
+    ax = spmm(r, s, jnp.where(em, w, 0.0), x, N)  # (A X)_i over senders
+    lx = deg[:, None] * x - ax
+    v = jnp.linalg.norm(lx, axis=-1)
+
+    # strict local maximum over incident edges (undirected graphs list both
+    # directions, so in-neighbors suffice)
+    neigh_max = segment_max(v[s], r, N, mask=em)
+    neigh_max = jnp.where(jnp.isfinite(neigh_max), neigh_max, -jnp.inf)
+    leader = batch.node_mask & (v > neigh_max)
+
+    # leader slots: rank among leaders of the same graph
+    slot = segment_topk_rank(-jnp.arange(N, dtype=jnp.float32),
+                             batch.node_graph, B, mask=leader)
+    slot = jnp.minimum(slot, Kmax - 1)
+
+    # gather leader features into [B, Kmax, F]
+    F = x.shape[-1]
+    x_lead = jnp.zeros((B, Kmax, F), x.dtype).at[
+        batch.node_graph, slot].add(jnp.where(leader[:, None], x, 0.0))
+    slot_valid = jnp.zeros((B, Kmax), bool).at[
+        batch.node_graph, slot].max(leader)
+
+    # cosine similarity to own graph's leaders
+    xn = x / jnp.clip(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12, None)
+    ln = x_lead / jnp.clip(
+        jnp.linalg.norm(x_lead, axis=-1, keepdims=True), 1e-12, None)
+    cos = jnp.einsum("nf,nkf->nk", xn, ln[batch.node_graph])  # [N, Kmax]
+    valid_cols = slot_valid[batch.node_graph]
+    cos = jnp.where(valid_cols, cos, -jnp.inf)
+    soft = jax.nn.softmax(cos, axis=-1)
+    soft = jnp.where(valid_cols, soft, 0.0)
+
+    # leaders one-hot to their own slot; followers get the softmax
+    onehot = jax.nn.one_hot(slot, Kmax, dtype=x.dtype) * leader[:, None]
+    S = jnp.where(leader[:, None], onehot, soft)
+    S = jnp.where(batch.node_mask[:, None], S, 0.0)
+
+    return SelectOutput(
+        s=S,
+        node_graph=batch.node_graph,
+        node_mask=batch.node_mask,
+        num_clusters=Kmax,
+        num_graphs=B,
+        max_clusters=Kmax,
+        s_inv_op=s_inv_op,
+        extras={"leader": leader, "v": v},
+    )
