@@ -1,0 +1,104 @@
+"""Per-pooler forward/backward timing harness (reference:
+examples/time_and_mem_test.py:1-579 — its MemoryStats/BenchmarkResult
+dataclasses become plain dicts; device memory from
+``jax.local_devices()[0].memory_stats()``).
+
+Run:  python examples/time_and_mem_test.py [sizes...]
+Prints per-pooler forward/backward wall time over random ER batches.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tgp_tpu.data.loaders import GraphLoader
+from tgp_tpu.datasets.synthetic import SyntheticGraphClassification
+from tgp_tpu.poolers import get_pooler
+from tests.utils_graphs import erdos_renyi_graph  # reuse seeded generator
+
+POOLERS_TIMED = ["topk", "sag", "asap", "ec", "kmis", "graclus", "maxcut",
+                 "mincut", "diff", "dmon", "hosc", "jb", "acc", "lap",
+                 "nopool"]
+
+
+@dataclass
+class BenchmarkResult:
+    pooler: str
+    fwd_ms: float
+    fwd_bwd_ms: float
+    device_mem_mb: Optional[float]
+
+
+def bench_pooler(alias, batch, iters=10):
+    kw = dict(in_channels=batch.num_features, ratio=0.5, k=16)
+    pooler = get_pooler(alias, **kw)
+    rngs = {"params": jax.random.key(0)}
+    if alias == "bnpool":
+        rngs["sample"] = jax.random.key(1)
+    params = pooler.init(rngs, batch)
+
+    is_host = not hasattr(pooler, "bind")
+
+    def fwd(p, b):
+        out = pooler.apply(p, b)
+        x = out.graph.x if out.graph is not None else out.dense.x
+        return jnp.sum(x ** 2) + out.loss_sum()
+
+    if is_host:
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            fwd(params, batch)
+        fwd_ms = (time.perf_counter() - t0) / iters * 1e3
+        return BenchmarkResult(alias, fwd_ms, float("nan"), None)
+
+    jfwd = jax.jit(fwd)
+    jgrad = jax.jit(jax.grad(fwd))
+    jax.block_until_ready(jfwd(params, batch))  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jfwd(params, batch)
+    jax.block_until_ready(out)
+    fwd_ms = (time.perf_counter() - t0) / iters * 1e3
+
+    jax.block_until_ready(jgrad(params, batch))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        g = jgrad(params, batch)
+    jax.block_until_ready(g)
+    bwd_ms = (time.perf_counter() - t0) / iters * 1e3
+
+    stats = jax.local_devices()[0].memory_stats() or {}
+    mem = stats.get("bytes_in_use")
+    return BenchmarkResult(alias, fwd_ms, bwd_ms,
+                           mem / 2**20 if mem else None)
+
+
+def main(sizes=(50, 200), batch_size=4, num_features=16):
+    for n in sizes:
+        graphs = [erdos_renyi_graph(n, p=min(8.0 / n, 0.5),
+                                    num_features=num_features, seed=i)
+                  for i in range(batch_size)]
+        loader = GraphLoader(graphs, batch_size=batch_size)
+        batch = next(iter(loader))
+        print(f"== N={n} x {batch_size} graphs "
+              f"(E={int(np.asarray(batch.edge_mask).sum())}) ==")
+        for alias in POOLERS_TIMED:
+            try:
+                r = bench_pooler(alias, batch)
+                mem = f" mem={r.device_mem_mb:.0f}MB" if r.device_mem_mb else ""
+                print(f"  {alias:10s} fwd {r.fwd_ms:8.2f}ms  "
+                      f"fwd+bwd {r.fwd_bwd_ms:8.2f}ms{mem}")
+            except Exception as exc:
+                print(f"  {alias:10s} FAILED: {type(exc).__name__}: {exc}")
+
+
+if __name__ == "__main__":
+    sizes = tuple(int(s) for s in sys.argv[1:]) or (50, 200)
+    main(sizes)

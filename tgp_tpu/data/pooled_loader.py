@@ -22,14 +22,18 @@ from tgp_tpu.select.base import SelectOutput
 __all__ = ["collate_level", "PooledGraphLoader", "LevelBatch"]
 
 
+from flax import struct
+
+
+@struct.dataclass
 class LevelBatch:
     """One pooling level: a device ``SelectOutput`` (mapping the previous
     level's node space to this level's supernode space) and the pooled
-    connectivity as a ``GraphBatch`` skeleton (x zeros, filled in-model)."""
+    connectivity as a ``GraphBatch`` skeleton (x zeros, filled in-model).
+    A pytree, so it passes through ``jit`` boundaries."""
 
-    def __init__(self, so: SelectOutput, graph: GraphBatch):
-        self.so = so
-        self.graph = graph
+    so: SelectOutput
+    graph: GraphBatch
 
     def place_features(self, x_pool):
         """Put reduce output into this level's packed pooled node space

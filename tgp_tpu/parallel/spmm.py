@@ -1,0 +1,86 @@
+"""Edge-partitioned SpMM across a device mesh (shard_map + collectives).
+
+The reference has no distributed layer (SURVEY §2.12) — this is new
+TPU-first design for **large single graphs** that exceed one chip:
+
+* nodes are sharded in contiguous ranges (device *d* owns rows
+  ``[d·N/D, (d+1)·N/D)`` of ``x``);
+* edges are partitioned by the **receiver's owner**, so the scatter-add of
+  ``A·X`` is purely local;
+* remote sender rows arrive via ``all_gather`` over the mesh axis (rides
+  ICI).  An ``all_gather`` of ``X`` is the right v1 collective: pooled
+  graphs shrink quickly, and gathering beats a per-edge halo exchange until
+  the frontier is much smaller than N.  A ``ppermute`` ring halo variant is
+  the planned refinement (see ``ring_halo_spmm`` note).
+
+Host-side :func:`partition_edges` produces the static per-device edge
+arrays; :func:`sharded_spmm` is the jit-able step.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+__all__ = ["partition_edges", "sharded_spmm", "make_sharded_spmm"]
+
+
+def _ceil_to(v, m):
+    return ((v + m - 1) // m) * m
+
+
+def partition_edges(senders, receivers, edge_weight, num_nodes: int,
+                    n_devices: int):
+    """Host-side partition: edges grouped by receiver's owner, padded to a
+    common per-device budget.  Returns stacked ``[D, E_local]`` arrays plus
+    the padded node count per device."""
+    senders = np.asarray(senders)
+    receivers = np.asarray(receivers)
+    edge_weight = np.asarray(edge_weight)
+    n_pad = _ceil_to(num_nodes, n_devices)
+    rows_per = n_pad // n_devices
+    owner = receivers // rows_per
+
+    buckets = [np.nonzero(owner == d)[0] for d in range(n_devices)]
+    e_local = _ceil_to(max(max(len(b) for b in buckets), 1), 8)
+    S = np.zeros((n_devices, e_local), np.int32)
+    R = np.zeros((n_devices, e_local), np.int32)
+    W = np.zeros((n_devices, e_local), np.float32)
+    for d, idx in enumerate(buckets):
+        k = len(idx)
+        S[d, :k] = senders[idx]
+        R[d, :k] = receivers[idx] - d * rows_per  # local row index
+        W[d, :k] = edge_weight[idx]
+    return jnp.asarray(S), jnp.asarray(R), jnp.asarray(W), n_pad, rows_per
+
+
+def sharded_spmm(x_local, senders_d, receivers_local_d, weight_d,
+                 rows_per: int, axis: str = "gp"):
+    """Per-device body: gather the full X over ICI, then local
+    gather+segment-sum.  Call under ``shard_map``."""
+    x_full = jax.lax.all_gather(x_local, axis, tiled=True)  # [N_pad, F]
+    msgs = x_full[senders_d] * weight_d[:, None]
+    return jax.ops.segment_sum(msgs, receivers_local_d,
+                               num_segments=rows_per)
+
+
+def make_sharded_spmm(mesh: Mesh, rows_per: int, axis: str = "gp"):
+    """Build the jitted sharded SpMM: inputs ``(x [N_pad,F] sharded by rows,
+    S/R/W [D, E_local] sharded by device)`` → ``A·X`` sharded by rows."""
+    from jax import shard_map
+
+    def body(x_local, s_d, r_d, w_d):
+        # leading device axis of size 1 under shard_map — drop it
+        return sharded_spmm(x_local, s_d[0], r_d[0], w_d[0], rows_per, axis)
+
+    smapped = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+    )
+    return jax.jit(smapped)

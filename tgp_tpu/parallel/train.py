@@ -43,15 +43,21 @@ def make_dp_train_step(loss_fn: Callable, tx, mesh: Mesh, axis: str = "dp"):
     computes per-device grads, ``psum``-averages them over ICI, and applies
     the update identically on every device.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def per_device(params, opt_state, batch, y):
         # leading dp axis of size 1 on each device — drop it
         batch = jax.tree_util.tree_map(lambda a: a[0], batch)
         y = y[0]
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch, y)
-        grads = jax.lax.pmean(grads, axis)
-        loss = jax.lax.pmean(loss, axis)
+
+        # Differentiate the pmean'd loss: under shard_map's varying-axes
+        # semantics, grad wrt replicated params of a mean-over-devices loss
+        # IS the device-mean gradient (the transpose inserts the psum) —
+        # no explicit gradient collective needed.
+        def mean_loss(p):
+            return jax.lax.pmean(loss_fn(p, batch, y), axis)
+
+        loss, grads = jax.value_and_grad(mean_loss)(params)
         updates, opt_state = tx.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -61,6 +67,5 @@ def make_dp_train_step(loss_fn: Callable, tx, mesh: Mesh, axis: str = "dp"):
         mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis)),
         out_specs=(P(), P(), P()),
-        check_rep=False,
     )
     return jax.jit(smapped)

@@ -1,0 +1,284 @@
+"""Aggregation-module reducers: the ``get_aggr`` alias factory and
+``AggrReduce`` (reference: tgp/reduce/get_aggr.py:33-159 +
+tgp/reduce/aggr_reduce.py:33-156).
+
+The reference wraps PyG's Aggregation zoo (27 aliases).  Here each
+aggregation is a flax module (or stateless callable) over the packed layout
+``(x [N,F], segment_ids [N], mask, num_segments)``.  Sequence aggregations
+(LSTM/GRU/Set2Set/sort) materialize per-segment padded sequences
+``[C, Lmax, F]`` with a static length budget (the sorted-``(segment, rank)``
+scatter replacing the reference's ``_aggregate_sorted`` sort helper,
+aggr_reduce.py:13-29).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tgp_tpu.ops.segment import (
+    segment_count,
+    segment_max,
+    segment_mean,
+    segment_min,
+    segment_softmax,
+    segment_sum,
+    segment_topk_rank,
+)
+from tgp_tpu.select.base import SelectOutput
+
+__all__ = ["get_aggr", "AggrReduce", "aggr_aliases"]
+
+
+# --------------------------------------------------------------------------
+# stateless aggregations
+# --------------------------------------------------------------------------
+
+
+def _agg_sum(x, seg, C, mask):
+    return segment_sum(x, seg, C, mask=mask)
+
+
+def _agg_mean(x, seg, C, mask):
+    return segment_mean(x, seg, C, mask=mask)
+
+
+def _agg_max(x, seg, C, mask):
+    out = segment_max(x, seg, C, mask=mask)
+    return jnp.where(jnp.isfinite(out), out, 0.0)
+
+
+def _agg_min(x, seg, C, mask):
+    out = segment_min(x, seg, C, mask=mask)
+    return jnp.where(jnp.isfinite(out), out, 0.0)
+
+
+def _agg_mul(x, seg, C, mask):
+    logx = jnp.where(mask[:, None], jnp.log(jnp.clip(jnp.abs(x), 1e-20, None)), 0.0)
+    sign = jnp.where(mask[:, None], jnp.sign(x), 1.0)
+    neg = segment_sum((sign < 0).astype(jnp.int32), seg, C)
+    return jnp.exp(segment_sum(logx, seg, C)) * jnp.where(neg % 2 == 1, -1.0, 1.0)
+
+
+def _agg_var(x, seg, C, mask):
+    m = segment_mean(x, seg, C, mask=mask)
+    sq = segment_mean(x * x, seg, C, mask=mask)
+    return jnp.clip(sq - m * m, 0.0, None)
+
+
+def _agg_std(x, seg, C, mask):
+    return jnp.sqrt(_agg_var(x, seg, C, mask) + 1e-12)
+
+
+def _agg_softmax(x, seg, C, mask):
+    w = segment_softmax(x, seg, C, mask=mask[:, None] if mask is not None else None)
+    return segment_sum(w * x, seg, C)
+
+
+def _agg_powermean(x, seg, C, mask, p: float = 2.0):
+    xp = jnp.power(jnp.clip(x, 1e-8, None), p)
+    return jnp.power(segment_mean(xp, seg, C, mask=mask), 1.0 / p)
+
+
+def _agg_variance_preserving(x, seg, C, mask):
+    n = jnp.clip(segment_count(seg, C, mask=mask), 1, None).astype(x.dtype)
+    return segment_sum(x, seg, C, mask=mask) / jnp.sqrt(n)[:, None]
+
+
+def _to_padded_sequences(x, seg, C, mask, L):
+    """``[N,F]`` → per-segment padded ``[C, L, F]`` + length mask ``[C, L]``,
+    ordered by original node index within each segment."""
+    rank = segment_topk_rank(-jnp.arange(x.shape[0], dtype=jnp.float32), seg,
+                             C, mask=mask)
+    rank = jnp.minimum(rank, L - 1)
+    seqs = jnp.zeros((C, L, x.shape[-1]), x.dtype).at[seg, rank].add(
+        jnp.where(mask[:, None], x, 0.0))
+    lmask = jnp.zeros((C, L), bool).at[seg, rank].max(mask)
+    return seqs, lmask
+
+
+def _agg_median(x, seg, C, mask, L: int):
+    seqs, lmask = _to_padded_sequences(x, seg, C, mask, L)
+    big = jnp.where(lmask[..., None], seqs, jnp.inf)
+    srt = jnp.sort(big, axis=1)
+    n = jnp.clip(lmask.sum(-1), 1, None)
+    idx = ((n - 1) // 2)[:, None, None]
+    med = jnp.take_along_axis(srt, idx.repeat(x.shape[-1], -1), axis=1)[:, 0]
+    return jnp.where(jnp.isfinite(med), med, 0.0)
+
+
+# --------------------------------------------------------------------------
+# learnable aggregations (flax modules)
+# --------------------------------------------------------------------------
+
+
+class AttentionalAggregation(nn.Module):
+    """Gate-MLP attention pooling: ``Σ softmax(gate(x)) · nn(x)``."""
+
+    channels: int = 0
+
+    @nn.compact
+    def __call__(self, x, seg, C, mask):
+        gate = nn.Dense(1)(x)[:, 0]
+        w = segment_softmax(gate, seg, C, mask=mask)
+        h = nn.Dense(x.shape[-1])(x)
+        return segment_sum(w[:, None] * h, seg, C)
+
+
+class Set2Set(nn.Module):
+    """Set2Set (Vinyals et al. 2016): LSTM-driven attention readout,
+    output dim ``2F``."""
+
+    processing_steps: int = 3
+
+    @nn.compact
+    def __call__(self, x, seg, C, mask):
+        F = x.shape[-1]
+        cell = nn.LSTMCell(features=F)
+        carry = cell.initialize_carry(jax.random.key(0), (C, F))
+        q_star = jnp.zeros((C, 2 * F), x.dtype)
+        for _ in range(self.processing_steps):
+            carry, q = cell(carry, q_star)
+            e = jnp.sum(x * q[seg], -1)
+            a = segment_softmax(e, seg, C, mask=mask)
+            r = segment_sum(a[:, None] * x, seg, C)
+            q_star = jnp.concatenate([q, r], -1)
+        return q_star
+
+
+class LSTMAggregation(nn.Module):
+    """Order-sensitive LSTM over per-segment sequences (sorted by node
+    index, like the reference's ``_aggregate_sorted``)."""
+
+    max_len: int = 32
+
+    @nn.compact
+    def __call__(self, x, seg, C, mask):
+        F = x.shape[-1]
+        seqs, lmask = _to_padded_sequences(x, seg, C, mask, self.max_len)
+        lengths = lmask.sum(-1)
+        outs = nn.RNN(nn.OptimizedLSTMCell(features=F))(
+            seqs, seq_lengths=lengths)
+        last = jnp.clip(lengths - 1, 0, self.max_len - 1)
+        return jnp.take_along_axis(
+            outs, last[:, None, None].repeat(F, -1), axis=1)[:, 0]
+
+
+class GRUAggregation(nn.Module):
+    max_len: int = 32
+
+    @nn.compact
+    def __call__(self, x, seg, C, mask):
+        F = x.shape[-1]
+        seqs, lmask = _to_padded_sequences(x, seg, C, mask, self.max_len)
+        lengths = lmask.sum(-1)
+        outs = nn.RNN(nn.GRUCell(features=F))(seqs, seq_lengths=lengths)
+        last = jnp.clip(lengths - 1, 0, self.max_len - 1)
+        return jnp.take_along_axis(
+            outs, last[:, None, None].repeat(F, -1), axis=1)[:, 0]
+
+
+class SortAggregation(nn.Module):
+    """Sort pooling (Zhang et al. 2018): top-k rows by last feature,
+    concatenated; output dim ``k·F``."""
+
+    k: int = 4
+
+    @nn.compact
+    def __call__(self, x, seg, C, mask):
+        L = max(self.k, 4)
+        key = x[:, -1]
+        rank = segment_topk_rank(key, seg, C, mask=mask)
+        rank = jnp.minimum(rank, L - 1)
+        seqs = jnp.zeros((C, L, x.shape[-1]), x.dtype).at[seg, rank].add(
+            jnp.where(mask[:, None], x, 0.0))
+        return seqs[:, : self.k].reshape(C, -1)
+
+
+class DeepSetsAggregation(nn.Module):
+    @nn.compact
+    def __call__(self, x, seg, C, mask):
+        h = nn.Dense(x.shape[-1])(jax.nn.relu(nn.Dense(x.shape[-1])(x)))
+        s = segment_sum(h, seg, C, mask=mask)
+        return nn.Dense(x.shape[-1])(jax.nn.relu(s))
+
+
+class MLPAggregation(nn.Module):
+    max_len: int = 32
+
+    @nn.compact
+    def __call__(self, x, seg, C, mask):
+        seqs, _ = _to_padded_sequences(x, seg, C, mask, self.max_len)
+        return nn.Dense(x.shape[-1])(seqs.reshape(C, -1))
+
+
+_STATELESS: Dict[str, Callable] = {
+    "sum": _agg_sum, "add": _agg_sum, "mean": _agg_mean, "avg": _agg_mean,
+    "max": _agg_max, "min": _agg_min, "mul": _agg_mul, "var": _agg_var,
+    "std": _agg_std, "softmax": _agg_softmax, "powermean": _agg_powermean,
+    "power_mean": _agg_powermean,
+    "variance_preserving": _agg_variance_preserving,
+}
+
+_LEARNABLE = {
+    "attentional": AttentionalAggregation,
+    "set2set": Set2Set,
+    "lstm": LSTMAggregation,
+    "gru": GRUAggregation,
+    "sort": SortAggregation,
+    "deep_sets": DeepSetsAggregation,
+    "mlp": MLPAggregation,
+}
+
+
+def aggr_aliases():
+    return sorted(set(_STATELESS) | set(_LEARNABLE) | {"median"})
+
+
+def get_aggr(alias: str, **kwargs):
+    """Alias → aggregation (reference factory: tgp/reduce/get_aggr.py:95-159;
+    kwargs filtered against the module's fields)."""
+    alias = alias.lower()
+    if alias in _STATELESS:
+        fn = _STATELESS[alias]
+        if kwargs:
+            return lambda x, seg, C, mask: fn(x, seg, C, mask, **kwargs)
+        return fn
+    if alias == "median":
+        L = kwargs.get("max_len", 32)
+        return lambda x, seg, C, mask: _agg_median(x, seg, C, mask, L)
+    if alias in _LEARNABLE:
+        cls = _LEARNABLE[alias]
+        fields = {f.name for f in cls.__dataclass_fields__.values()} \
+            if hasattr(cls, "__dataclass_fields__") else set()
+        return cls(**{k: v for k, v in kwargs.items() if k in fields})
+    raise ValueError(
+        f"unknown aggregation {alias!r}; available: {aggr_aliases()}")
+
+
+class AggrReduce(nn.Module):
+    """Reduce with an arbitrary aggregation over the sparse-S path
+    (reference: tgp/reduce/aggr_reduce.py:33-156).  ``so=None`` → graph
+    readout (one supernode per graph)."""
+
+    aggr: Any = "sum"
+
+    @nn.compact
+    def __call__(self, x, so: Optional[SelectOutput] = None, *,
+                 node_graph=None, num_graphs: Optional[int] = None,
+                 node_mask=None):
+        agg = get_aggr(self.aggr) if isinstance(self.aggr, str) else self.aggr
+        if so is None:
+            seg, C, mask = node_graph, num_graphs, node_mask
+            src = x
+        else:
+            assert so.is_sparse, (
+                "AggrReduce supports sparse assignments only; use BaseReduce "
+                "for dense S (reference aggr_reduce.py docstring)")
+            seg, C = so.cluster_index, so.num_clusters
+            mask = so.node_sel_mask
+            src = x * so.weight[:, None]
+        return agg(src, seg, C, mask)
