@@ -122,14 +122,13 @@ def bench_torch(graphs, labels):
         def forward(self, x, ei, bvec):
             h = torch.relu(self.gcn(self.l1(x), ei, N))
             score = torch.tanh(h @ self.p / self.p.norm())
-            # per-graph topk (ratio .5)
-            keep_list = []
-            for g in range(B):
-                idx = (bvec == g).nonzero(as_tuple=True)[0]
-                k = int(np.ceil(0.5 * idx.numel()))
-                top = idx[score[idx].topk(k).indices]
-                keep_list.append(top)
-            keep = torch.cat(keep_list)
+            # per-graph topk (ratio .5), vectorized like PyG's C++ topk:
+            # all graphs have N_PER nodes, so one reshape + row-topk works
+            k = int(np.ceil(0.5 * N_PER))
+            sc = score.view(B, N_PER)
+            top = sc.topk(k, dim=1).indices + torch.arange(
+                B).view(B, 1) * N_PER
+            keep = top.reshape(-1)
             remap = -torch.ones(N, dtype=torch.long)
             remap[keep] = torch.arange(keep.numel())
             h2 = h[keep] * score[keep, None]
