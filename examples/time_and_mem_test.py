@@ -80,7 +80,12 @@ def bench_pooler(alias, batch, iters=10):
                            mem / 2**20 if mem else None)
 
 
-def main(sizes=(50, 200), batch_size=4, num_features=16):
+def main(sizes=(50, 200), batch_size=4, num_features=16,
+         profile_dir: str | None = None):
+    """Set ``profile_dir`` (or pass ``--profile``) to capture a
+    ``jax.profiler`` trace of the benchmark for xprof/tensorboard."""
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     for n in sizes:
         graphs = [erdos_renyi_graph(n, p=min(8.0 / n, 0.5),
                                     num_features=num_features, seed=i)
@@ -97,8 +102,13 @@ def main(sizes=(50, 200), batch_size=4, num_features=16):
                       f"fwd+bwd {r.fwd_bwd_ms:8.2f}ms{mem}")
             except Exception as exc:
                 print(f"  {alias:10s} FAILED: {type(exc).__name__}: {exc}")
+    if profile_dir:
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {profile_dir}")
 
 
 if __name__ == "__main__":
-    sizes = tuple(int(s) for s in sys.argv[1:]) or (50, 200)
-    main(sizes)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    profile = "--profile" in sys.argv
+    sizes = tuple(int(s) for s in args) or (50, 200)
+    main(sizes, profile_dir="/tmp/tgp_profile" if profile else None)

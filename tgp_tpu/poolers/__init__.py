@@ -72,14 +72,9 @@ def get_pooler(alias: str, **kwargs) -> SRCPooling:
         )
     cls = _REGISTRY[name]
     sig = pooler_signature(cls)
+    # silently filter irrelevant kwargs, like the reference factory
+    # (tgp/poolers/__init__.py:131-140)
     init_kwargs = {k: v for k, v in kwargs.items() if k in sig}
-    dropped = set(kwargs) - set(init_kwargs)
-    if dropped:
-        import warnings
-
-        warnings.warn(
-            f"get_pooler({alias!r}): ignoring irrelevant kwargs {sorted(dropped)}"
-        )
     return cls(**init_kwargs)
 
 
