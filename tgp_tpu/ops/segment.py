@@ -54,22 +54,25 @@ def segment_mean(data, segment_ids, num_segments, mask=None, eps: float = 1e-12)
 
 
 def segment_max(data, segment_ids, num_segments, mask=None):
-    """Masked segment max; empty segments return dtype-min."""
+    """Masked segment max; empty float segments return ``-inf`` (so
+    ``isfinite`` guards catch them — a finite dtype-min fill silently
+    overflows downstream dense layers), empty int segments dtype-min."""
     if mask is not None:
         shape = data.shape if data.ndim == mask.ndim else mask.shape + (1,) * (data.ndim - mask.ndim)
-        data = jnp.where(mask.reshape(shape), data, jnp.finfo(data.dtype).min
-                         if jnp.issubdtype(data.dtype, jnp.floating)
-                         else jnp.iinfo(data.dtype).min)
+        fill = (-jnp.inf if jnp.issubdtype(data.dtype, jnp.floating)
+                else jnp.iinfo(data.dtype).min)
+        data = jnp.where(mask.reshape(shape), data, fill)
     return jax.ops.segment_max(data, segment_ids, num_segments=num_segments)
 
 
 def segment_min(data, segment_ids, num_segments, mask=None):
-    """Masked segment min; empty segments return dtype-max."""
+    """Masked segment min; empty float segments return ``+inf``, empty int
+    segments dtype-max."""
     if mask is not None:
         shape = data.shape if data.ndim == mask.ndim else mask.shape + (1,) * (data.ndim - mask.ndim)
-        data = jnp.where(mask.reshape(shape), data, jnp.finfo(data.dtype).max
-                         if jnp.issubdtype(data.dtype, jnp.floating)
-                         else jnp.iinfo(data.dtype).max)
+        fill = (jnp.inf if jnp.issubdtype(data.dtype, jnp.floating)
+                else jnp.iinfo(data.dtype).max)
+        data = jnp.where(mask.reshape(shape), data, fill)
     return jax.ops.segment_min(data, segment_ids, num_segments=num_segments)
 
 

@@ -101,13 +101,37 @@ def _to_padded_sequences(x, seg, C, mask, L):
 
 
 def _agg_median(x, seg, C, mask, L: int):
+    return _agg_quantile(x, seg, C, mask, L, q=0.5)
+
+
+def _agg_quantile(x, seg, C, mask, L: int, q: float = 0.5):
+    """Per-segment q-quantile (PyG ``QuantileAggregation``, 'lower'
+    interpolation)."""
     seqs, lmask = _to_padded_sequences(x, seg, C, mask, L)
     big = jnp.where(lmask[..., None], seqs, jnp.inf)
     srt = jnp.sort(big, axis=1)
     n = jnp.clip(lmask.sum(-1), 1, None)
-    idx = ((n - 1) // 2)[:, None, None]
-    med = jnp.take_along_axis(srt, idx.repeat(x.shape[-1], -1), axis=1)[:, 0]
-    return jnp.where(jnp.isfinite(med), med, 0.0)
+    idx = jnp.clip((q * (n - 1)).astype(jnp.int32), 0, L - 1)[:, None, None]
+    out = jnp.take_along_axis(srt, idx.repeat(x.shape[-1], -1), axis=1)[:, 0]
+    return jnp.where(jnp.isfinite(out), out, 0.0)
+
+
+def _agg_degree_scaler(x, seg, C, mask):
+    """PyG ``DegreeScalerAggregation`` (PNA-style): mean scaled by
+    [identity, log-amplification, log-attenuation], concatenated → 3F."""
+    n = jnp.clip(segment_count(seg, C, mask=mask), 1, None).astype(x.dtype)
+    mean = segment_mean(x, seg, C, mask=mask)
+    log_n = jnp.log(n + 1.0)[:, None]
+    avg_log = jnp.mean(jnp.log(n + 1.0))
+    amp = mean * (log_n / jnp.maximum(avg_log, 1e-6))
+    att = mean * (jnp.maximum(avg_log, 1e-6) / log_n)
+    return jnp.concatenate([mean, amp, att], axis=-1)
+
+
+def _agg_multi(x, seg, C, mask, aggrs=("mean", "max", "sum")):
+    """PyG ``MultiAggregation``: concatenate several aggregations."""
+    outs = [_STATELESS[a](x, seg, C, mask) for a in aggrs]
+    return jnp.concatenate(outs, axis=-1)
 
 
 # --------------------------------------------------------------------------
@@ -221,6 +245,8 @@ _STATELESS: Dict[str, Callable] = {
     "std": _agg_std, "softmax": _agg_softmax, "powermean": _agg_powermean,
     "power_mean": _agg_powermean,
     "variance_preserving": _agg_variance_preserving,
+    "degree_scaler": _agg_degree_scaler,
+    "multi": _agg_multi,
 }
 
 _LEARNABLE = {
@@ -235,7 +261,7 @@ _LEARNABLE = {
 
 
 def aggr_aliases():
-    return sorted(set(_STATELESS) | set(_LEARNABLE) | {"median"})
+    return sorted(set(_STATELESS) | set(_LEARNABLE) | {"median", "quantile"})
 
 
 def get_aggr(alias: str, **kwargs):
@@ -250,6 +276,10 @@ def get_aggr(alias: str, **kwargs):
     if alias == "median":
         L = kwargs.get("max_len", 32)
         return lambda x, seg, C, mask: _agg_median(x, seg, C, mask, L)
+    if alias == "quantile":
+        L = kwargs.get("max_len", 32)
+        q = kwargs.get("q", 0.5)
+        return lambda x, seg, C, mask: _agg_quantile(x, seg, C, mask, L, q)
     if alias in _LEARNABLE:
         cls = _LEARNABLE[alias]
         fields = {f.name for f in cls.__dataclass_fields__.values()} \
