@@ -91,7 +91,7 @@ def _kernel(row_ptr_ref, lo_ref, hi_ref, msgs_hbm, out_ref, *, block_rows,
 def sorted_segment_sum_pallas(msgs: jax.Array, rids: jax.Array,
                               row_ptr: jax.Array, num_rows: int,
                               *, block_rows: int = 128,
-                              precision=jax.lax.Precision.HIGHEST,
+                              precision=jax.lax.Precision.DEFAULT,
                               interpret: bool = False) -> jax.Array:
     """``out[r] = Σ_{e: rids[e]==r} msgs[e]`` for **sorted** ``rids [E]``.
 
@@ -99,6 +99,11 @@ def sorted_segment_sum_pallas(msgs: jax.Array, rids: jax.Array,
     works purely off ``row_ptr`` (padding edges must sort past
     ``row_ptr[num_rows]``).  ``num_rows`` must be a multiple of
     ``block_rows``.
+
+    ``precision``: DEFAULT (bf16 MXU passes, ~2e-3 rel err on the summed
+    messages, 1.4x faster than XLA scatter-add) or HIGHEST (3-pass fp32
+    emulation, bit-accurate to ~1e-6 but ~7x slower — use for parity
+    checks only).
     """
     E, F = msgs.shape
     del rids
