@@ -49,12 +49,14 @@ def bench_jax(graphs, labels):
     from tgp_tpu.models.classifiers import PoolingClassifier
     from tgp_tpu.poolers import get_pooler
 
-    loader = GraphLoader(graphs, labels, batch_size=B)
-    batch, y = next(iter(loader))
-    y = jnp.asarray(y)
+    from tgp_tpu.graph import from_graphs
+
+    batch = from_graphs(graphs, sort_edges=True)
+    y = jnp.asarray(labels)
 
     pooler = get_pooler("topk", in_channels=HIDDEN, ratio=0.5)
-    model = PoolingClassifier(pooler=pooler, num_classes=3, hidden=HIDDEN)
+    model = PoolingClassifier(pooler=pooler, num_classes=3, hidden=HIDDEN,
+                              use_pallas=True)
     params = model.init(jax.random.key(0), batch)
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)

@@ -71,6 +71,11 @@ class GraphBatch:
     edge_mask: jax.Array
     num_graphs: int = struct.field(pytree_node=False)
     max_nodes: int = struct.field(pytree_node=False)
+    #: static flag: edges are sorted by receiver (padding edges at r=0 sort
+    #: first and carry zero weight, so sorted-CSR kernels stay correct) —
+    #: set by the collator via ``sort_edges=True`` to unlock the Pallas
+    #: segment-sum path.
+    edges_sorted: bool = struct.field(pytree_node=False, default=False)
 
     # -- static shape accessors -------------------------------------------
     @property
@@ -152,6 +157,7 @@ def from_graphs(
     max_nodes: int | None = None,
     node_multiple: int = 8,
     edge_multiple: int = 128,
+    sort_edges: bool = False,
     dtype: Any = np.float32,
 ) -> GraphBatch:
     """Collate a list of ``(x, edge_index[, edge_weight])`` numpy graphs.
@@ -222,6 +228,11 @@ def from_graphs(
     # Padding nodes keep node_pos clamped into range for scatter safety.
     node_pos[n_off:] = max_nodes - 1 if max_nodes > 0 else 0
 
+    if sort_edges:
+        order = np.argsort(receivers, kind="stable")
+        senders, receivers = senders[order], receivers[order]
+        edge_weight, edge_mask = edge_weight[order], edge_mask[order]
+
     return GraphBatch(
         x=jnp.asarray(x_out),
         senders=jnp.asarray(senders),
@@ -233,6 +244,7 @@ def from_graphs(
         edge_mask=jnp.asarray(edge_mask),
         num_graphs=B,
         max_nodes=max_nodes,
+        edges_sorted=sort_edges,
     )
 
 

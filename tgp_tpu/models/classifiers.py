@@ -30,12 +30,13 @@ class PoolingClassifier(nn.Module):
     num_pre_layers: int = 1
     num_post_layers: int = 1
     readout: str = "sum"
+    use_pallas: bool = False  # Pallas SpMM on sorted-edge input batches
 
     @nn.compact
     def __call__(self, batch: GraphBatch) -> Tuple[jax.Array, PoolingOutput]:
         x = batch.x
         for _ in range(self.num_pre_layers):
-            x = nn.relu(GCNConv(self.hidden)(batch, x))
+            x = nn.relu(GCNConv(self.hidden, use_pallas=self.use_pallas)(batch, x))
         batch = batch.with_features(x)
 
         out: PoolingOutput = self.pooler(batch)

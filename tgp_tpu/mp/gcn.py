@@ -46,6 +46,10 @@ class GCNConv(nn.Module):
     out_channels: int
     add_self_loops: bool = True
     use_bias: bool = True
+    #: use the Pallas sorted-CSR segment-sum kernel (requires a batch built
+    #: with ``sort_edges=True``; self-loops are applied as a separate
+    #: diagonal term so the sorted layout is preserved)
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, batch: Union[GraphBatch, DenseGraphBatch],
@@ -54,6 +58,28 @@ class GCNConv(nn.Module):
             x = batch.x
         h = nn.Dense(self.out_channels, use_bias=False,
                      kernel_init=nn.initializers.glorot_uniform())(x)
+        if (self.use_pallas and isinstance(batch, GraphBatch)
+                and batch.edges_sorted):
+            from tgp_tpu.ops.pallas.segment_spmm import segment_sum_sorted
+            from tgp_tpu.ops.sparse import weighted_degree
+
+            N = batch.num_nodes
+            w = jnp.where(batch.edge_mask, batch.edge_weight, 0.0)
+            deg = weighted_degree(batch.receivers, w, N)
+            if self.add_self_loops:
+                deg = deg + batch.node_mask.astype(deg.dtype)
+            dinv = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-12)),
+                             0.0)
+            w_norm = w * dinv[batch.senders] * dinv[batch.receivers]
+            msgs = h[batch.senders] * w_norm[:, None]
+            out = segment_sum_sorted(msgs, batch.receivers, N)
+            if self.add_self_loops:
+                out = out + h * (dinv * dinv)[:, None]
+            out = jnp.where(batch.node_mask[:, None], out, 0.0)
+            if self.use_bias:
+                out = out + self.param("bias", nn.initializers.zeros,
+                                       (self.out_channels,))
+            return out
         if isinstance(batch, DenseGraphBatch):
             adj = batch.adj
             if self.add_self_loops:

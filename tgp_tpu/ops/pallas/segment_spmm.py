@@ -164,3 +164,46 @@ def spmm_sorted(senders_sorted, rids_sorted, row_ptr, edge_weight_sorted, x,
     msgs = x[senders_sorted] * edge_weight_sorted[:, None]
     return sorted_segment_sum_pallas(msgs, rids_sorted, row_ptr, num_rows,
                                      **kw)
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _segment_sum_sorted_vjp(msgs, receivers_sorted, num_rows, interpret):
+    rows_pad = ((num_rows + 127) // 128) * 128
+    counts = jax.ops.segment_sum(
+        jnp.ones(receivers_sorted.shape[0], jnp.int32), receivers_sorted,
+        num_segments=rows_pad)
+    row_ptr = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts).astype(jnp.int32)])
+    out = sorted_segment_sum_pallas(msgs, receivers_sorted, row_ptr,
+                                    rows_pad, interpret=interpret)
+    return out[:num_rows]
+
+
+def _sss_fwd(msgs, receivers_sorted, num_rows, interpret):
+    return (_segment_sum_sorted_vjp(msgs, receivers_sorted, num_rows,
+                                    interpret), receivers_sorted)
+
+
+def _sss_bwd(num_rows, interpret, receivers_sorted, g):
+    # VJP of a segment-sum is a plain gather: d_msgs[e] = g[rid_e]
+    return (g[jnp.clip(receivers_sorted, 0, num_rows - 1)], None)
+
+
+_segment_sum_sorted_vjp.defvjp(_sss_fwd, _sss_bwd)
+
+
+def segment_sum_sorted(msgs, receivers_sorted, num_rows: int,
+                       interpret: bool = False):
+    """Convenience wrapper for model code: receiver-sorted messages →
+    per-row sums via the Pallas kernel (differentiable — the backward pass
+    is an XLA gather), handling row padding to the 128-row grid and
+    building ``row_ptr`` on the fly.
+
+    Padding edge slots may point at row 0 with zero-valued messages — they
+    contribute nothing to the sum, and their cotangent ``g[0]`` is
+    multiplied by zero downstream of the weighting."""
+    return _segment_sum_sorted_vjp(msgs, receivers_sorted, num_rows,
+                                   interpret)
