@@ -54,9 +54,12 @@ def bench_jax(graphs, labels):
     batch = from_graphs(graphs, sort_edges=True)
     y = jnp.asarray(labels)
 
+    # XLA scatter-add wins at this batch scale (~125k edges: kernel grid
+    # overhead dominates); the Pallas path (use_pallas=True) wins on the
+    # pure segment-sum at 262k+ edges — see RESULTS.md.
     pooler = get_pooler("topk", in_channels=HIDDEN, ratio=0.5)
     model = PoolingClassifier(pooler=pooler, num_classes=3, hidden=HIDDEN,
-                              use_pallas=True)
+                              use_pallas=False)
     params = model.init(jax.random.key(0), batch)
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)
