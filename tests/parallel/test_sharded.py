@@ -79,3 +79,25 @@ def test_dp_train_step_matches_single_device(mesh):
                       jax.tree_util.tree_leaves(params_dp)):
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-4,
                                    atol=1e-5)
+
+
+def test_ring_halo_spmm_matches(mesh):
+    from tgp_tpu.parallel.spmm import make_ring_halo_spmm, partition_edges_2d
+
+    rng = np.random.default_rng(3)
+    n, e, F = 64, 400, 16
+    s = rng.integers(0, n, e).astype(np.int32)
+    r = rng.integers(0, n, e).astype(np.int32)
+    w = rng.normal(size=e).astype(np.float32)
+    x = rng.normal(size=(n, F)).astype(np.float32)
+    expect = np.asarray(spmm(jnp.asarray(s), jnp.asarray(r), jnp.asarray(w),
+                             jnp.asarray(x), n))
+
+    S, R, W, n_pad, rows_per = partition_edges_2d(s, r, w, n, 8)
+    x_pad = np.zeros((n_pad, F), np.float32)
+    x_pad[:n] = x
+    fn = make_ring_halo_spmm(mesh, rows_per, 8, axis="gp")
+    with mesh:
+        out = fn(jnp.asarray(x_pad), S, R, W)
+    np.testing.assert_allclose(np.asarray(out)[:n], expect, rtol=1e-4,
+                               atol=1e-4)

@@ -85,3 +85,30 @@ def test_pooling_output_api(small_batch):
     out2 = PoolingOutput(so=so, graph=small_batch)
     assert not out2.has_loss
     assert float(out2.loss_sum()) == 0.0
+
+
+def test_compact_select_output(small_batch):
+    from tgp_tpu.select.base import compact_select_output
+    from tgp_tpu.select.graclus import graclus_select
+
+    so = graclus_select(small_batch)
+    assert so.num_clusters == small_batch.num_nodes  # node-id space
+    budget = small_batch.max_nodes  # safe upper bound
+    so_c = compact_select_output(so, budget)
+    assert so_c.num_clusters == small_batch.num_graphs * budget
+    # same partition structure: same number of occupied clusters per graph
+    import numpy as np
+    om_old = np.asarray(so.out_mask())
+    om_new = np.asarray(so_c.out_mask())
+    cg_old = np.asarray(so.cluster_graph)
+    cg_new = np.asarray(so_c.cluster_graph)
+    for g in range(small_batch.num_graphs):
+        assert om_old[cg_old == g].sum() == om_new[cg_new == g].sum()
+    # co-membership preserved
+    ci_old = np.asarray(so.cluster_index)
+    ci_new = np.asarray(so_c.cluster_index)
+    sel = np.asarray(so.node_sel_mask)
+    idx = np.nonzero(sel)[0]
+    for i in idx[:20]:
+        for j in idx[:20]:
+            assert ((ci_old[i] == ci_old[j]) == (ci_new[i] == ci_new[j]))

@@ -30,7 +30,8 @@ from flax import struct
 
 from tgp_tpu.ops.segment import segment_sum, segment_topk_rank
 
-__all__ = ["SelectOutput", "cluster_to_select_output"]
+__all__ = ["SelectOutput", "cluster_to_select_output",
+           "compact_select_output"]
 
 
 @struct.dataclass
@@ -149,9 +150,6 @@ def cluster_to_select_output(
 
     if cluster_graph is None:
         # graph of a supernode = max over graph ids of its members (all equal)
-        cg = segment_sum(
-            jnp.zeros(ci_safe.shape[0], jnp.int32), ci_safe, num_clusters
-        )
         cg = jax.ops.segment_max(
             jnp.where(node_sel_mask, node_graph, -1), ci_safe,
             num_segments=num_clusters,
@@ -180,4 +178,57 @@ def cluster_to_select_output(
         partial=partial,
         s_inv_op=s_inv_op,
         extras=extras or {},
+    )
+
+
+def compact_select_output(so: SelectOutput, budget_per_graph: int
+                          ) -> SelectOutput:
+    """Repack a sparse total assignment into a smaller graph-major budget.
+
+    Total-assignment selectors (graclus/kmis/ec) use supernode ids in the
+    *node* id space (budget N), so pooled graphs keep the input's static
+    size with mostly-masked slots.  This relabels occupied supernodes to
+    ``graph · budget + rank`` (rank = position among the graph's occupied
+    supernodes, ordered by old id), shrinking every downstream tensor.
+
+    ``budget_per_graph`` must be ≥ the max occupied supernodes of any graph
+    (e.g. ``ceil(max_nodes/2) + 1`` for matchings-with-singletons worst
+    cases are ``max_nodes``; pick per your method's guarantee).  Overflowing
+    supernodes are masked out — choose the budget accordingly.
+    """
+    assert so.is_sparse, "compact_select_output needs a sparse SelectOutput"
+    from tgp_tpu.ops.segment import segment_topk_rank
+
+    C_old = so.num_clusters
+    occupied = so.out_mask()
+    slot = segment_topk_rank(
+        -jnp.arange(C_old, dtype=jnp.float32), so.cluster_graph,
+        so.num_graphs, mask=occupied)
+    ok = occupied & (slot < budget_per_graph)
+    new_id = jnp.where(
+        ok, so.cluster_graph * budget_per_graph + slot, 0).astype(jnp.int32)
+
+    # remap node assignments through the old→new table
+    table_id = jnp.where(ok, new_id, 0)
+    table_ok = ok
+    ci = so.cluster_index
+    node_ok = so.node_sel_mask & table_ok[ci]
+    ci_new = jnp.where(node_ok, table_id[ci], 0)
+
+    C_new = so.num_graphs * budget_per_graph
+    return SelectOutput(
+        cluster_index=ci_new.astype(jnp.int32),
+        weight=jnp.where(node_ok, so.weight, 0.0),
+        node_sel_mask=node_ok,
+        node_graph=so.node_graph,
+        node_mask=so.node_mask,
+        cluster_graph=(jnp.arange(C_new, dtype=jnp.int32)
+                       // budget_per_graph),
+        cluster_pos=(jnp.arange(C_new, dtype=jnp.int32) % budget_per_graph),
+        num_clusters=C_new,
+        num_graphs=so.num_graphs,
+        max_clusters=budget_per_graph,
+        partial=so.partial,
+        s_inv_op=so.s_inv_op,
+        extras=so.extras,
     )
