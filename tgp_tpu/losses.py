@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from tgp_tpu import eps
 from tgp_tpu.ops.segment import segment_sum
-from tgp_tpu.ops.sparse import rank3_diag, rank3_trace, spmm
+from tgp_tpu.ops.sparse import rank3_trace, spmm
 
 __all__ = [
     "mincut_loss",

@@ -20,7 +20,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from tgp_tpu.ops.segment import segment_max, segment_min, segment_sum
+from tgp_tpu.ops.segment import segment_min, segment_sum
 
 __all__ = ["propagate_assignments_step", "assign_all_nodes"]
 

@@ -19,7 +19,7 @@ arrays; :func:`sharded_spmm` is the jit-able step.
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Tuple
 
 import jax

@@ -10,14 +10,14 @@ replicated.  Edge-partitioned single-graph sharding lives in
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Any, Callable, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 __all__ = ["make_mesh", "stack_batches", "make_dp_train_step"]
 

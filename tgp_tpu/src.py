@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 from flax import struct
 
-from tgp_tpu.connect.base import ConnectConfig, dense_connect, sparse_connect
+from tgp_tpu.connect.base import ConnectConfig, sparse_connect
 from tgp_tpu.graph import DenseGraphBatch, GraphBatch, from_dense, to_dense
 from tgp_tpu.lift.base import base_lift
 from tgp_tpu.reduce.base import base_reduce
