@@ -22,7 +22,8 @@ from tgp_tpu.poolers import get_pooler
 
 
 def main(alias: str = "topk", epochs: int = 20, batch_size: int = 32,
-         hidden: int = 64, seed: int = 0, verbose: bool = True):
+         hidden: int = 64, seed: int = 0, verbose: bool = True,
+         checkpoint_dir: str | None = None):
     graphs, labels = SyntheticGraphClassification(
         num_graphs=360, num_features=8, seed=42
     ).generate()
@@ -79,6 +80,17 @@ def main(alias: str = "topk", epochs: int = 20, batch_size: int = 32,
     test_acc = float(np.mean(np.concatenate(correct)))
     if verbose:
         print(f"[{alias}] test acc {test_acc:.3f}  ({time.time()-t0:.1f}s)")
+
+    if checkpoint_dir:
+        from tgp_tpu.utils.checkpoint import restore_params, save_params
+
+        save_params(checkpoint_dir, params)
+        restored = restore_params(checkpoint_dir, like=params)
+        logits_a, _ = model.apply(params, batch0)
+        logits_b, _ = model.apply(restored, batch0)
+        assert np.allclose(np.asarray(logits_a), np.asarray(logits_b))
+        if verbose:
+            print(f"checkpoint round-trip OK → {checkpoint_dir}")
     return test_acc
 
 

@@ -98,3 +98,20 @@ def test_lapool_jit(batch):
 
     out = fwd(batch)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_lapool_shortest_path_reg():
+    # chain graphs → leader distances vary, so β = 1/d actually bites
+    from tests.utils_graphs import chain_graph
+    from tgp_tpu.graph import from_graphs
+
+    graphs = [chain_graph(12, num_features=6, seed=i) for i in range(2)]
+    b = from_graphs(graphs, pad_nodes=32, pad_edges=128)
+    pooler = get_pooler("lap", shortest_path_reg=True)
+    out = pooler(b)  # eager (host csgraph) path
+    s = np.asarray(out.so.s)
+    nm = np.asarray(b.node_mask)
+    np.testing.assert_allclose(s[nm].sum(-1), 1.0, atol=1e-4)
+    # regularization changes follower assignments vs the plain path
+    out0 = get_pooler("lap")(b)
+    assert not np.allclose(s, np.asarray(out0.so.s))

@@ -36,8 +36,18 @@ class LaPooling(DenseSRCPooling):
         if lifting:
             return self.lift(x if x is not None else batch.x, so)
         if so is None:
-            so = lapool_select(batch, shortest_path_reg=self.shortest_path_reg,
-                               s_inv_op=self.s_inv_op)
+            if self.shortest_path_reg:
+                # eager two-pass: device leaders → host csgraph β weights →
+                # regularized selection (cannot run under jit)
+                from tgp_tpu.select.lapool import shortest_path_weights
+
+                so0 = lapool_select(batch, s_inv_op=self.s_inv_op)
+                spw = shortest_path_weights(
+                    batch, so0.extras["leader"], so0.extras["slot"])
+                so = lapool_select(batch, shortest_path_reg=True,
+                                   sp_weight=spw, s_inv_op=self.s_inv_op)
+            else:
+                so = lapool_select(batch, s_inv_op=self.s_inv_op)
         x_pool = reduce_dense_unbatched(
             batch.x, so.s, batch.node_graph, batch.num_graphs,
             batch.node_mask)

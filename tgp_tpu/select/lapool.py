@@ -25,15 +25,20 @@ from tgp_tpu.ops.segment import segment_max, segment_topk_rank
 from tgp_tpu.ops.sparse import spmm, weighted_degree
 from tgp_tpu.select.base import SelectOutput
 
-__all__ = ["lapool_select"]
+__all__ = ["lapool_select", "shortest_path_weights"]
 
 
 def lapool_select(batch: GraphBatch, *, shortest_path_reg: bool = False,
-                  s_inv_op: str = "transpose") -> SelectOutput:
-    if shortest_path_reg:
+                  sp_weight=None, s_inv_op: str = "transpose"
+                  ) -> SelectOutput:
+    """``sp_weight [N, Kmax]`` (optional) multiplies the cosine scores before
+    the softmax — the shortest-path β regularization, computed host-side by
+    :func:`shortest_path_weights` (the reference also runs it on CPU via
+    scipy ``csgraph``, lapool_select.py:​81-426)."""
+    if shortest_path_reg and sp_weight is None:
         raise NotImplementedError(
-            "shortest_path_reg runs on host only (scipy csgraph); "
-            "precompute it offline")
+            "shortest_path_reg needs host-computed sp_weight "
+            "(see shortest_path_weights); it cannot run under jit")
     N = batch.num_nodes
     B = batch.num_graphs
     Kmax = batch.max_nodes
@@ -70,6 +75,8 @@ def lapool_select(batch: GraphBatch, *, shortest_path_reg: bool = False,
     ln = x_lead / jnp.clip(
         jnp.linalg.norm(x_lead, axis=-1, keepdims=True), 1e-12, None)
     cos = jnp.einsum("nf,nkf->nk", xn, ln[batch.node_graph])  # [N, Kmax]
+    if sp_weight is not None:
+        cos = cos * sp_weight
     valid_cols = slot_valid[batch.node_graph]
     cos = jnp.where(valid_cols, cos, -jnp.inf)
     soft = jax.nn.softmax(cos, axis=-1)
@@ -88,5 +95,34 @@ def lapool_select(batch: GraphBatch, *, shortest_path_reg: bool = False,
         num_graphs=B,
         max_clusters=Kmax,
         s_inv_op=s_inv_op,
-        extras={"leader": leader, "v": v},
+        extras={"leader": leader, "v": v, "slot": slot},
     )
+
+
+def shortest_path_weights(batch: GraphBatch, leader, slot) -> "jax.Array":
+    """Host-side β = 1/shortest-path-distance weights ``[N, Kmax]``
+    (scipy ``csgraph``, like the reference's CPU path).  ``leader``/``slot``
+    come from a first (unregularized) :func:`lapool_select` pass."""
+    import numpy as np
+    import scipy.sparse as sp
+    import scipy.sparse.csgraph as csgraph
+
+    N, Kmax = batch.num_nodes, batch.max_nodes
+    s = np.asarray(batch.senders)
+    r = np.asarray(batch.receivers)
+    em = np.asarray(batch.edge_mask)
+    A = sp.csr_matrix((np.ones(em.sum()), (s[em], r[em])), shape=(N, N))
+    leader = np.asarray(leader)
+    slot_np = np.asarray(slot)
+    ng = np.asarray(batch.node_graph)
+    idx = np.nonzero(leader)[0]
+    out = np.zeros((N, Kmax), np.float32)
+    if idx.size:
+        d = csgraph.shortest_path(A, method="D", unweighted=True,
+                                  indices=idx)
+        for row, i in enumerate(idx):
+            dist = d[row]
+            w = np.where(np.isfinite(dist) & (dist > 0), 1.0 / dist, 1.0)
+            same = ng == ng[i]
+            out[same, slot_np[i]] = w[same]
+    return jnp.asarray(out)
