@@ -112,3 +112,16 @@ def test_compact_select_output(small_batch):
     for i in idx[:20]:
         for j in idx[:20]:
             assert ((ci_old[i] == ci_old[j]) == (ci_new[i] == ci_new[j]))
+
+
+def test_is_expressive(small_batch):
+    from tgp_tpu.select import degree_scorer
+    from tgp_tpu.select.graclus import graclus_select
+    from tgp_tpu.select.topk import topk_select_from_scores
+
+    score = degree_scorer(small_batch)
+    assert score.shape == (small_batch.num_nodes,)
+    so_partial = topk_select_from_scores(score, small_batch, 0.5)
+    assert not bool(so_partial.is_expressive())
+    so_total = graclus_select(small_batch)
+    assert bool(so_total.is_expressive())

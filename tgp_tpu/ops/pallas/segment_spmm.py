@@ -35,15 +35,15 @@ _CHUNK = 128
 
 
 def _kernel(row_ptr_ref, lo_ref, hi_ref, msgs_hbm, out_ref, *, block_rows,
-            precision):
+            block_edges, precision):
     rb = pl.program_id(0)
     r0 = rb * block_rows
     e_start = row_ptr_ref[r0]
     e_end = row_ptr_ref[r0 + block_rows]
     F = out_ref.shape[-1]
 
-    c0 = e_start // _CHUNK  # aligned-down first chunk
-    n_chunks = jnp.maximum((e_end + _CHUNK - 1) // _CHUNK - c0, 0)
+    c0 = e_start // block_edges  # aligned-down first chunk
+    n_chunks = jnp.maximum((e_end + block_edges - 1) // block_edges - c0, 0)
 
     def body(msgs_buf, msg_sem):
         lo = lo_ref[:, 0:1]  # [BR, 1] per-row edge-range bounds
@@ -52,7 +52,7 @@ def _kernel(row_ptr_ref, lo_ref, hi_ref, msgs_hbm, out_ref, *, block_rows,
         def make_dma(slot, c):
             g = c0 + c
             return pltpu.make_async_copy(
-                msgs_hbm.at[pl.ds(g * _CHUNK, _CHUNK), :],
+                msgs_hbm.at[pl.ds(g * block_edges, block_edges), :],
                 msgs_buf.at[slot], msg_sem.at[slot])
 
         @pl.when(n_chunks > 0)
@@ -69,9 +69,9 @@ def _kernel(row_ptr_ref, lo_ref, hi_ref, msgs_hbm, out_ref, *, block_rows,
             make_dma(slot, c).wait()
             chunk = msgs_buf[slot]  # [CHUNK, F]
 
-            e0 = (c0 + c) * _CHUNK
+            e0 = (c0 + c) * block_edges
             pos = e0 + jax.lax.broadcasted_iota(
-                jnp.int32, (block_rows, _CHUNK), 1)
+                jnp.int32, (block_rows, block_edges), 1)
             oh = ((pos >= lo) & (pos < hi)).astype(jnp.float32)
             return acc + jnp.dot(oh, chunk,
                                  preferred_element_type=jnp.float32,
@@ -83,7 +83,7 @@ def _kernel(row_ptr_ref, lo_ref, hi_ref, msgs_hbm, out_ref, *, block_rows,
 
     pl.run_scoped(
         body,
-        msgs_buf=pltpu.VMEM((2, _CHUNK, F), jnp.float32),
+        msgs_buf=pltpu.VMEM((2, block_edges, F), jnp.float32),
         msg_sem=pltpu.SemaphoreType.DMA((2,)),
     )
 
@@ -91,6 +91,7 @@ def _kernel(row_ptr_ref, lo_ref, hi_ref, msgs_hbm, out_ref, *, block_rows,
 def sorted_segment_sum_pallas(msgs: jax.Array, rids: jax.Array,
                               row_ptr: jax.Array, num_rows: int,
                               *, block_rows: int = 128,
+                              block_edges: int = 512,
                               precision=jax.lax.Precision.DEFAULT,
                               interpret: bool = False) -> jax.Array:
     """``out[r] = Σ_{e: rids[e]==r} msgs[e]`` for **sorted** ``rids [E]``.
@@ -108,8 +109,9 @@ def sorted_segment_sum_pallas(msgs: jax.Array, rids: jax.Array,
     E, F = msgs.shape
     del rids
     assert num_rows % block_rows == 0, (num_rows, block_rows)
+    assert block_edges % 128 == 0
     # pad the edge axis so chunk DMAs never run off the end
-    E_pad = ((E + _CHUNK - 1) // _CHUNK + 1) * _CHUNK
+    E_pad = ((E + block_edges - 1) // block_edges + 1) * block_edges
     msgs = jnp.concatenate([msgs, jnp.zeros((E_pad - E, F), msgs.dtype)])
 
     # per-row bounds, lane-broadcast so VMEM blocks are tile-aligned
@@ -120,7 +122,7 @@ def sorted_segment_sum_pallas(msgs: jax.Array, rids: jax.Array,
     grid = (num_rows // block_rows,)
     return pl.pallas_call(
         functools.partial(_kernel, block_rows=block_rows,
-                          precision=precision),
+                          block_edges=block_edges, precision=precision),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,

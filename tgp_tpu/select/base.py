@@ -105,6 +105,22 @@ class SelectOutput:
                           mask=self.node_mask)
         return col > 0
 
+    def is_expressive(self) -> jax.Array:
+        """Whether the assignment is *expressive* — every valid node
+        participates (reference: ``SelectOutput.is_expressive``,
+        base_select.py:210-232).  Traced boolean scalar."""
+        if self.is_sparse:
+            return jnp.all(~self.node_mask | self.node_sel_mask)
+        if self.s.ndim == 3:
+            row_mass = self.s.sum(-1)
+            m = self.in_mask if self.in_mask is not None else jnp.ones(
+                row_mass.shape, bool)
+            return jnp.all(~m | (row_mass > 0))
+        row_mass = self.s.sum(-1)
+        m = self.node_mask if self.node_mask is not None else jnp.ones(
+            row_mass.shape, bool)
+        return jnp.all(~m | (row_mass > 0))
+
     def pooled_node_graph(self) -> jax.Array:
         """Graph id of each pooled supernode (``reduce_batch``,
         reference tgp/reduce/base_reduce.py:14-53).  Sparse layout only."""
