@@ -1,0 +1,44 @@
+"""End-to-end smoke tests over the example entry points (tiny configs) —
+the suite-level guarantee that every headline config keeps training.
+
+Marked slow; run explicitly or in CI:  pytest -m slow tests/test_examples_smoke.py
+"""
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+def test_classification_topk():
+    from examples.classification import main
+
+    acc = main("topk", epochs=6, verbose=False)
+    assert acc > 0.6
+
+
+def test_classification_dense():
+    from examples.classification import main
+
+    acc = main("mincut", epochs=6, verbose=False)
+    assert acc > 0.6
+
+
+def test_clustering():
+    from examples.clustering import main
+
+    nmi = main("mincut", epochs=60, verbose=False)
+    assert nmi > 0.5
+
+
+def test_node_class_lift():
+    from examples.node_class import main
+
+    acc = main("topk", epochs=40, verbose=False)
+    assert acc > 0.6
+
+
+def test_pre_coarsening():
+    from examples.pre_coarsening import main
+
+    acc = main("graclus", epochs=5, verbose=False)
+    assert acc > 0.5
