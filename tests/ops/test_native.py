@@ -58,3 +58,21 @@ def test_native_propagation():
                                               num_clusters=2)
     assert (out >= 0).all()
     assert out[1] == 0 and out[3] == 1
+
+
+def test_native_sep_merge_matches_python_structure():
+    native = pytest.importorskip("tgp_tpu._native")
+    from tgp_tpu.precoarsen.sep import sep_coding_tree, sep_levels
+
+    ei, n = _edges(n=24, seed=9)
+    # native path builds a valid tree covering all leaves
+    nodes, root = sep_coding_tree(ei, n, max_height=2, use_native=True)
+    assert sorted(nodes[root].leaves) == list(range(n))
+    # both paths produce valid level partitions of equal granularity class
+    lv_native = sep_levels(ei, n, levels=1)
+    nodes_py, root_py = sep_coding_tree(ei, n, max_height=2,
+                                        use_native=False)
+    assert sorted(nodes_py[root_py].leaves) == list(range(n))
+    part = lv_native[0]["cluster_index"]
+    assert part.shape == (n,)
+    assert part.max() + 1 == lv_native[0]["num_clusters"]

@@ -81,3 +81,33 @@ def native_propagate_assignments(edge_index, assignments, max_iter: int,
                               np.ascontiguousarray(ei[1]), max_iter,
                               num_clusters, a)
     return a
+
+
+def native_sep_merge(edge_index, num_nodes, edge_weight=None):
+    """SEP greedy structural-entropy merge phase in C++.  Returns
+    ``(parent [n_total], vol [n_total], cut [n_total], n_total)`` where
+    leaves are 0..n-1 and internal nodes are appended; ``parent == -1``
+    marks current roots."""
+    lib = _load()
+    import ctypes as ct
+
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.sep_merge_tree.argtypes = [
+        ct.c_int64, ct.c_int64, i64p, i64p, f64p, i64p, f64p, f64p,
+        ct.POINTER(ct.c_int64)]
+    ei = np.ascontiguousarray(np.asarray(edge_index), np.int64)
+    e = ei.shape[1]
+    w = np.ascontiguousarray(
+        np.ones(e) if edge_weight is None else np.asarray(edge_weight),
+        np.float64)
+    cap = max(2 * num_nodes, 1)
+    parent = np.full(cap, -1, np.int64)
+    vol = np.zeros(cap, np.float64)
+    cut = np.zeros(cap, np.float64)
+    n_total = ct.c_int64(0)
+    lib.sep_merge_tree(num_nodes, e, np.ascontiguousarray(ei[0]),
+                       np.ascontiguousarray(ei[1]), w, parent, vol, cut,
+                       ct.byref(n_total))
+    nt = n_total.value
+    return parent[:nt], vol[:nt], cut[:nt], nt

@@ -15,9 +15,11 @@
 // Build: make (g++ -O3 -shared);  loaded via ctypes with NumPy fallbacks.
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <random>
+#include <unordered_map>
 #include <vector>
 
 extern "C" {
@@ -134,6 +136,132 @@ void propagate_assignments(int64_t n, int64_t e, const int64_t* src,
       if (updates[v] >= 0) assignments[v] = updates[v];
     if (!any) break;
   }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// SEP structural-entropy merge phase (tgp_tpu/precoarsen/sep.py's Python
+// agglomeration in C++): greedy pairwise merging of root children while the
+// two-level structural entropy decreases.  Outputs a forest: parent[i] for
+// each of up to 2n-1 nodes (leaves 0..n-1, internals appended), -1 for roots,
+// plus per-node volume and cut.  Height compression stays in Python (small).
+extern "C" {
+
+void sep_merge_tree(int64_t n, int64_t e, const int64_t* src,
+                    const int64_t* dst, const double* w, int64_t* parent_out,
+                    double* vol_out, double* cut_out, int64_t* n_total_out) {
+  const int64_t cap = 2 * n;
+  std::vector<double> vol(cap, 0.0), cut(cap, 0.0);
+  std::vector<int64_t> parent(cap, -1);
+  std::vector<char> alive(cap, 0);
+
+  // degrees / self-cut from (assumed symmetric) edge list
+  std::vector<double> deg(n, 0.0), selfw(n, 0.0);
+  for (int64_t i = 0; i < e; ++i) {
+    deg[src[i]] += w ? w[i] : 1.0;
+    if (src[i] == dst[i]) selfw[src[i]] += w ? w[i] : 1.0;
+  }
+  double V = 0.0;
+  for (int64_t i = 0; i < n; ++i) V += deg[i];
+  if (V <= 0) V = 1.0;
+
+  // cross weights between current clusters
+  std::unordered_map<int64_t, std::unordered_map<int64_t, double>> cross;
+  for (int64_t i = 0; i < e; ++i) {
+    int64_t a = src[i], b = dst[i];
+    if (a < b) {
+      double ww = w ? w[i] : 1.0;
+      cross[a][b] += ww;
+      cross[b][a] += ww;
+    }
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    vol[i] = deg[i];
+    cut[i] = deg[i] - selfw[i];
+    alive[i] = 1;
+  }
+
+  auto merge_delta = [&](int64_t a, int64_t b, double w_ab) {
+    double vol_m = vol[a] + vol[b];
+    if (vol_m <= 0) return -1e300;
+    double g_m = cut[a] + cut[b] - 2 * w_ab;
+    double before = 0.0, after = 0.0;
+    for (int64_t x : {a, b}) {
+      if (vol[x] > 0) {
+        before += -(cut[x] / V) * std::log2(std::max(vol[x] / V, 1e-12));
+        after += -(cut[x] / V) * std::log2(std::max(vol[x] / vol_m, 1e-12));
+      }
+    }
+    after += -(g_m / V) * std::log2(std::max(vol_m / V, 1e-12));
+    return before - after;
+  };
+
+  // lazy max-heap of candidate merges
+  struct Cand { double d; int64_t a, b; };
+  auto cmp = [](const Cand& x, const Cand& y) { return x.d < y.d; };
+  std::vector<Cand> heap;
+  for (auto& [a, row] : cross)
+    for (auto& [b, ww] : row)
+      if (a < b) heap.push_back({merge_delta(a, b, ww), a, b});
+  std::make_heap(heap.begin(), heap.end(), cmp);
+
+  int64_t next_id = n;
+  while (!heap.empty() && next_id < cap - 1) {
+    std::pop_heap(heap.begin(), heap.end(), cmp);
+    Cand c = heap.back();
+    heap.pop_back();
+    if (!alive[c.a] || !alive[c.b]) continue;
+    double w_ab = 0.0;
+    auto it = cross.find(c.a);
+    if (it != cross.end()) {
+      auto jt = it->second.find(c.b);
+      if (jt != it->second.end()) w_ab = jt->second;
+    }
+    double d = merge_delta(c.a, c.b, w_ab);
+    if (d <= 1e-12) {
+      if (c.d - d > 1e-9) {  // stale entry: refresh if still positive
+        if (d > 1e-12) {
+          heap.push_back({d, c.a, c.b});
+          std::push_heap(heap.begin(), heap.end(), cmp);
+        }
+        continue;
+      }
+      break;  // fresh and non-positive → no more useful merges
+    }
+    int64_t m = next_id++;
+    vol[m] = vol[c.a] + vol[c.b];
+    cut[m] = cut[c.a] + cut[c.b] - 2 * w_ab;
+    parent[c.a] = m;
+    parent[c.b] = m;
+    alive[c.a] = alive[c.b] = 0;
+    alive[m] = 1;
+    // merge cross rows
+    std::unordered_map<int64_t, double> row;
+    for (int64_t xsrc : {c.a, c.b}) {
+      auto r = cross.find(xsrc);
+      if (r == cross.end()) continue;
+      for (auto& [nb, ww] : r->second)
+        if (alive[nb]) row[nb] += ww;
+      cross.erase(r);
+    }
+    for (auto& [nb, ww] : row) {
+      cross[nb].erase(c.a);
+      cross[nb].erase(c.b);
+      cross[nb][m] = ww;
+      double d2 = merge_delta(m, nb, ww);
+      if (d2 > 0) {
+        heap.push_back({d2, std::min(m, nb), std::max(m, nb)});
+        std::push_heap(heap.begin(), heap.end(), cmp);
+      }
+    }
+    cross[m] = std::move(row);
+  }
+
+  *n_total_out = next_id;
+  std::copy(parent.begin(), parent.begin() + next_id, parent_out);
+  std::copy(vol.begin(), vol.begin() + next_id, vol_out);
+  std::copy(cut.begin(), cut.begin() + next_id, cut_out);
 }
 
 }  // extern "C"

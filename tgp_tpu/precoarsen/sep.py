@@ -40,8 +40,18 @@ class _Node:
 
 
 def sep_coding_tree(edge_index, num_nodes, edge_weight=None,
-                    max_height: int = 2):
-    """Build the coding tree; returns (nodes dict, root id)."""
+                    max_height: int = 2, use_native: bool = True):
+    """Build the coding tree; returns (nodes dict, root id).
+
+    The merge phase runs in C++ (``_native.sep_merge_tree``) when the
+    toolchain is available, falling back to the Python heap agglomeration
+    (identical algorithm)."""
+    if use_native:
+        try:
+            return _sep_coding_tree_native(edge_index, num_nodes,
+                                           edge_weight, max_height)
+        except Exception:
+            pass
     A = to_csr(edge_index, num_nodes, edge_weight)
     A = A.maximum(A.T).tocsr()
     deg = np.asarray(A.sum(1)).ravel()
@@ -176,6 +186,75 @@ def sep_coding_tree(edge_index, num_nodes, edge_weight=None,
             p.children.append(c)
         del nodes[best]
 
+    return nodes, root
+
+
+def _sep_coding_tree_native(edge_index, num_nodes, edge_weight, max_height):
+    from tgp_tpu._native import native_sep_merge
+
+    # symmetrize like the Python path
+    A = to_csr(edge_index, num_nodes, edge_weight)
+    A = A.maximum(A.T).tocoo()
+    ei = np.stack([A.row, A.col]).astype(np.int64)
+    parent, vol, cut, n_total = native_sep_merge(ei, num_nodes, A.data)
+
+    nodes = {}
+    V = max(float(vol[:num_nodes].sum()), 1.0)
+    for i in range(n_total):
+        nd = _Node(i, vol=float(vol[i]), cut=float(cut[i]))
+        nodes[i] = nd
+    for i in range(n_total):
+        p = int(parent[i])
+        if p >= 0:
+            nodes[p].children.append(i)
+            nodes[i].parent = p
+    # leaves bottom-up
+    for i in range(num_nodes):
+        nodes[i].leaves = [i]
+    for i in range(num_nodes, n_total):
+        nodes[i].leaves = [l for c in nodes[i].children
+                           for l in nodes[c].leaves]
+    root = n_total
+    nroot = _Node(root, vol=V, cut=0.0)
+    nroot.children = sorted(i for i in range(n_total)
+                            if nodes[i].parent is None)
+    for c in nroot.children:
+        nodes[c].parent = root
+    nroot.leaves = list(range(num_nodes))
+    nodes[root] = nroot
+
+    # height compression (same as the Python path)
+    def height(nid):
+        n = nodes[nid]
+        if not n.children:
+            return 0
+        return 1 + max(height(c) for c in n.children)
+
+    def removal_cost(nid):
+        n = nodes[nid]
+        p = nodes[n.parent]
+        cost = (n.cut / V) * math.log2(max(n.vol / p.vol, 1e-12))
+        for c in n.children:
+            nc = nodes[c]
+            if nc.vol > 0:
+                cost += -(nc.cut / V) * (
+                    math.log2(max(nc.vol / p.vol, 1e-12))
+                    - math.log2(max(nc.vol / n.vol, 1e-12)))
+        return -cost
+
+    while height(root) > max_height:
+        cands = [nid for nid, n in nodes.items()
+                 if n.children and nid != root and n.parent is not None]
+        if not cands:
+            break
+        best = min(cands, key=removal_cost)
+        n = nodes[best]
+        p = nodes[n.parent]
+        p.children.remove(best)
+        for c in n.children:
+            nodes[c].parent = p.id
+            p.children.append(c)
+        del nodes[best]
     return nodes, root
 
 
