@@ -99,3 +99,23 @@ def test_bnpool_grad(batch):
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert any(bool(jnp.any(l != 0)) for l in leaves)
+
+
+def test_panconv_exact_met_support(batch):
+    conv = PANConv(out_channels=8, filter_size=3, exact_met_support=True)
+    params = conv.init(jax.random.key(0), batch)
+    x_out, met_deg, met_w = conv.apply(params, batch)
+    # oracle: dense powers per graph
+    from tgp_tpu.graph import to_dense
+    d = to_dense(batch)
+    w = params["params"]["hop_weight"]
+    A = np.asarray(d.adj)
+    M = w[1] * A + w[2] * np.einsum("bij,bjk->bik", A, A)
+    eg = np.asarray(batch.edge_graph)
+    sp = np.asarray(batch.node_pos)[np.asarray(batch.senders)]
+    rp = np.asarray(batch.node_pos)[np.asarray(batch.receivers)]
+    em = np.asarray(batch.edge_mask)
+    got = np.asarray(met_w)
+    for e in np.nonzero(em)[0]:
+        np.testing.assert_allclose(got[e], M[eg[e], sp[e], rp[e]], rtol=1e-4,
+                                   atol=1e-5)

@@ -40,7 +40,8 @@ def test_stateless_aggrs(alias, npfn, data):
 
 
 @pytest.mark.parametrize("alias", ["attentional", "set2set", "lstm", "gru",
-                                   "sort", "deep_sets", "mlp"])
+                                   "sort", "deep_sets", "mlp",
+                                   "set_transformer"])
 def test_learnable_aggrs(alias, data):
     x, seg, mask, C = data
     mod = AggrReduce(aggr=alias)

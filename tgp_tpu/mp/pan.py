@@ -8,11 +8,11 @@ feeding ``PANPooling`` with ``M`` and its degrees
 TPU design: **never materialize M.**
   * feature path: ``MXW`` exactly, by Horner-style iterated SpMM;
   * ``met_degree`` = ``M·1`` exactly, by iterated SpMM on ones;
-  * for the pooled graph's connectivity, M restricted to the ``A ∪ I``
-    support: exact for hops 0 and 1; higher-hop long-range entries fall
-    outside the static edge budget and are dropped (documented deviation —
-    the reference's SpSpMM grows the support dynamically, which has no
-    static-shape equivalent).
+  * pooled connectivity: M restricted to the ``A ∪ I`` support with
+    **exact** values from per-graph dense powers (``exact_met_support``,
+    default) — long-range entries outside the support are dropped (the
+    reference's SpSpMM grows the support dynamically, which has no
+    static-shape equivalent; degrees remain exact either way).
 """
 
 from __future__ import annotations
@@ -33,6 +33,10 @@ class PANConv(nn.Module):
     out_channels: int
     filter_size: int = 3
     use_bias: bool = True
+    #: gather exact MET values on the edge support from per-graph dense
+    #: powers (cost O(B·Nmax³) — fine for small graphs); False keeps the
+    #: hop-1 approximation
+    exact_met_support: bool = True
 
     @nn.compact
     def __call__(self, batch: GraphBatch, x: Optional[jax.Array] = None
@@ -65,6 +69,26 @@ class PANConv(nn.Module):
                                    (self.out_channels,))
         out = jnp.where(batch.node_mask[:, None], out, 0.0)
         met_degree = jnp.where(batch.node_mask, deg_acc[:, 0], 0.0)
-        # M on the original edge support: hop-1 term (hop-0 is the diagonal)
-        met_edge_weight = w[1] * ew if L > 1 else jnp.zeros_like(ew)
+        if self.exact_met_support:
+            # exact M values on the original edge support, via per-graph
+            # dense powers gathered at edge positions (graphs in the MET
+            # use case are small — MUTAG-sized — so [B, Nmax, Nmax] powers
+            # are cheap and stay on the MXU)
+            from tgp_tpu.graph import to_dense
+
+            d = to_dense(batch)
+            acc_m = jnp.zeros_like(d.adj)
+            cur = None
+            for l in range(1, L):
+                cur = d.adj if cur is None else jnp.einsum(
+                    "bij,bjk->bik", cur, d.adj)
+                acc_m = acc_m + w[l] * cur
+            eg = batch.edge_graph
+            sp = batch.node_pos[batch.senders]
+            rp = batch.node_pos[batch.receivers]
+            met_edge_weight = jnp.where(
+                batch.edge_mask, acc_m[eg, sp, rp], 0.0)
+        else:
+            # hop-1 only (hop-0 is the diagonal)
+            met_edge_weight = w[1] * ew if L > 1 else jnp.zeros_like(ew)
         return out, met_degree, met_edge_weight

@@ -205,6 +205,41 @@ class GRUAggregation(nn.Module):
             outs, last[:, None, None].repeat(F, -1), axis=1)[:, 0]
 
 
+class SetTransformerAggregation(nn.Module):
+    """Set Transformer pooling (Lee et al. 2019): a self-attention block
+    over each segment's (padded) element set, then Pooling-by-Multihead-
+    Attention with ``num_seeds`` learnable seed vectors; output ``[C, F]``
+    (seed outputs averaged)."""
+
+    num_heads: int = 4
+    num_seeds: int = 1
+    max_len: int = 32
+
+    @nn.compact
+    def __call__(self, x, seg, C, mask):
+        # project features up to a head-divisible width
+        F = ((x.shape[-1] + self.num_heads - 1)
+             // self.num_heads) * self.num_heads
+        x = nn.Dense(F)(x)
+        seqs, lmask = _to_padded_sequences(x, seg, C, mask, self.max_len)
+        attn_mask = lmask[:, None, None, :]  # [C, 1, 1, L]
+        # SAB: self-attention over set elements
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=F)(
+                seqs, seqs, mask=attn_mask & lmask[:, None, :, None])
+        h = nn.LayerNorm()(seqs + h)
+        h = h * lmask[..., None]
+        # PMA: learnable seeds attend over the set
+        seeds = self.param("seeds", nn.initializers.normal(0.02),
+                           (self.num_seeds, F))
+        q = jnp.broadcast_to(seeds[None], (C, self.num_seeds, F))
+        out = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=F)(
+                q, h, mask=jnp.broadcast_to(
+                    attn_mask, (C, 1, self.num_seeds, self.max_len)))
+        return out.mean(axis=1)
+
+
 class SortAggregation(nn.Module):
     """Sort pooling (Zhang et al. 2018): top-k rows by last feature,
     concatenated; output dim ``k·F``."""
@@ -257,6 +292,7 @@ _LEARNABLE = {
     "sort": SortAggregation,
     "deep_sets": DeepSetsAggregation,
     "mlp": MLPAggregation,
+    "set_transformer": SetTransformerAggregation,
 }
 
 
