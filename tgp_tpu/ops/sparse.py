@@ -162,7 +162,12 @@ def postprocess_adj_sparse(senders, receivers, edge_weight, edge_mask,
         w = jnp.where(keep, w, 0.0)
         m = keep
     if degree_norm:
-        w = normalize_adj_sym(senders, receivers, w, m, num_nodes)
+        # Reference-exact (tgp/utils/ops.py:385-404): sender-side plain
+        # weighted degree, clamped at eps.
+        deg = weighted_degree(senders, w, num_nodes, mask=m)
+        dinv = jax.lax.rsqrt(jnp.clip(deg, 1e-8, None))
+        w = w * dinv[senders] * dinv[receivers]
+        w = jnp.where(m, w, 0.0)
     if edge_weight_norm:
         edge_graph = node_graph[senders]
         w = segment_normalize(w, edge_graph, num_graphs, mask=m, ord="max_abs")
@@ -186,7 +191,7 @@ def postprocess_adj_dense(adj, mask=None, *,
                           degree_norm: bool = False,
                           edge_weight_norm: bool = False,
                           adj_transpose: bool = False,
-                          eps: float = 1e-12):
+                          eps: float = 1e-8):
     """Pooled-adjacency post-processing, dense world ``[B, K, K]``
     (reference: ``postprocess_adj_pool_dense``, tgp/utils/ops.py:282-335):
     zero the diagonal, optional ``D^{-1/2} A D^{-1/2}`` (transpose-aware),
@@ -195,9 +200,11 @@ def postprocess_adj_dense(adj, mask=None, *,
     if remove_self_loops_flag:
         adj = adj * (1.0 - jnp.eye(K, dtype=adj.dtype))
     if degree_norm:
+        # Reference-exact (tgp/utils/ops.py:310-320): d = plain row sums
+        # (column sums when transposed) clamped at eps — NOT |w| sums, and no
+        # zeroing of low-degree rows.
         a = jnp.swapaxes(adj, -1, -2) if adj_transpose else adj
-        deg = jnp.abs(a).sum(-1)
-        dinv = jnp.where(deg > eps, jax.lax.rsqrt(jnp.maximum(deg, eps)), 0.0)
+        dinv = jax.lax.rsqrt(jnp.clip(a.sum(-1), eps, None))
         a = dinv[..., :, None] * a * dinv[..., None, :]
         adj = jnp.swapaxes(a, -1, -2) if adj_transpose else a
     if edge_weight_norm:

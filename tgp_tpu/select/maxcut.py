@@ -46,10 +46,14 @@ class MaxCutScoreNet(nn.Module):
         w = jnp.where(m, w, 0.0)
         x = nn.Dense(self.in_channels)(batch.x)
         a_mp = resolve_activation(self.mp_act)
-        for width in self.mp_units:
-            # GCNConv(normalize=False) over P: x' = P · X W
-            h = nn.Dense(width, use_bias=True)(x)
-            x = a_mp(spmm(s, r, w, h, batch.num_nodes))
+        for i, width in enumerate(self.mp_units):
+            # GCNConv(normalize=False) over P: x' = P·(X W) + b — PyG puts
+            # the bias AFTER propagation (GCNConv.forward), so P·b never
+            # appears.
+            h = nn.Dense(width, use_bias=False)(x)
+            h = spmm(s, r, w, h, batch.num_nodes)
+            b = self.param(f"mp_bias_{i}", nn.initializers.zeros, (width,))
+            x = a_mp(h + b)
         a_mlp = resolve_activation(self.mlp_act)
         for width in self.mlp_units:
             x = a_mlp(nn.Dense(width)(x))

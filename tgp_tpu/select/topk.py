@@ -51,7 +51,15 @@ def topk_select_from_scores(
     rank = segment_topk_rank(score, batch.node_graph, B, mask=batch.node_mask)
 
     if min_score is not None:
-        keep = batch.node_mask & (score > min_score)
+        # PyG ``topk`` semantics: threshold at min(max_g − tol, min_score) so
+        # at least the top-scoring node of each graph survives
+        # (reference: torch_geometric.nn.pool.select.topk, used by
+        # tgp/select/topk_select.py:169-207).
+        from tgp_tpu.ops.segment import segment_max
+
+        smax = segment_max(score, batch.node_graph, B, mask=batch.node_mask)
+        thr = jnp.minimum(smax - 1e-7, min_score)
+        keep = batch.node_mask & (score > thr[batch.node_graph])
         # rank among *kept* nodes gives a compact per-graph slot
         rank = segment_topk_rank(score, batch.node_graph, B, mask=keep)
     else:
