@@ -510,6 +510,293 @@ def run_asap(graphs, W_lin, b_lin, W_att, b_att, le, ratio=0.5,
 
 
 # ---------------------------------------------------------------------------
+# EdgeContraction (reference: tgp/select/edge_contraction_select.py:14-249)
+# ---------------------------------------------------------------------------
+
+
+def maximal_matching(ei, n, rank):
+    """Greedy maximal matching in edge-rank order — transcription of the
+    reference's sentinel scatter-min loop (edge_contraction_select.py:
+    ``maximal_matching``)."""
+    m = ei.shape[1]
+    match = np.zeros(m, dtype=bool)
+    mask = np.ones(m, dtype=bool)
+    while mask.any():
+        node_rank = np.full(n, n * n, dtype=np.int64)
+        np.minimum.at(node_rank, ei[0][mask], rank[mask])
+        np.minimum.at(node_rank, ei[1][mask], rank[mask])
+        edge_rank = np.minimum(node_rank[ei[0]], node_rank[ei[1]])
+        match = match | (rank == edge_rank)
+        unmatched = np.ones(n, dtype=bool)
+        unmatched[ei[0][match]] = False
+        unmatched[ei[1][match]] = False
+        mask = mask & unmatched[ei[0]] & unmatched[ei[1]]
+    return match
+
+
+def run_ec(graphs, W_lin, b_lin, method="softmax", add_to_edge_score=0.5,
+           k_max=None, remove_self_loops=True):
+    """EdgeContraction pooler forward (reference: tgp/poolers/
+    edge_contraction.py + select).  Supernode slot = the root (sender-side)
+    node's position — the JAX package's uncompacted cluster-id layout."""
+    B = len(graphs)
+    n_max = max(g[0].shape[0] for g in graphs) if k_max is None else k_max
+    F = graphs[0][0].shape[1]
+    x_pool = np.zeros((B, n_max, F))
+    adj_pool = np.zeros((B, n_max, n_max))
+    mask_pool = np.zeros((B, n_max), dtype=bool)
+    for b, g in enumerate(graphs):
+        x = np.asarray(g[0], np.float64)
+        ei = np.asarray(g[1])
+        ew = np.asarray(g[2], np.float64) if len(g) > 2 else np.ones(ei.shape[1])
+        n = x.shape[0]
+        e = np.concatenate([x[ei[0]], x[ei[1]]], -1) @ W_lin + b_lin
+        e = e[:, 0]
+        if method == "softmax":
+            mx = np.full(n, -np.inf)
+            np.maximum.at(mx, ei[1], e)
+            ex = np.exp(e - mx[ei[1]])
+            den = np.zeros(n)
+            np.add.at(den, ei[1], ex)
+            e = ex / den[ei[1]]
+        elif method == "tanh":
+            e = np.tanh(e)
+        elif method == "sigmoid":
+            e = 1.0 / (1.0 + np.exp(-e))
+        e = e + add_to_edge_score
+        perm = np.argsort(-e, kind="stable")
+        rank = np.zeros(ei.shape[1], dtype=np.int64)
+        rank[perm] = np.arange(ei.shape[1])
+        match = maximal_matching(ei, n, rank)
+        cluster = np.arange(n)
+        cluster[ei[1][match]] = ei[0][match]
+        # per-node weight = its cluster's edge score (1 for singletons)
+        w_cluster = np.ones(n)
+        w_cluster[cluster[ei[0][match]]] = e[match]
+        weight = w_cluster[cluster]
+        roots = np.unique(cluster)
+        np.add.at(x_pool[b], cluster, x * weight[:, None])
+        mask_pool[b, roots] = True
+        cs, cr = cluster[ei[0]], cluster[ei[1]]
+        keep = ~(remove_self_loops & (cs == cr))
+        np.add.at(adj_pool[b], (cs[keep], cr[keep]), ew[keep])
+    return {"x_pool": x_pool, "adj_pool": adj_pool, "mask": mask_pool}
+
+
+# ---------------------------------------------------------------------------
+# BNPool (reference: tgp/poolers/bnpool.py:141-557 + select/dp_select.py)
+# ---------------------------------------------------------------------------
+
+
+def stick_breaking(z):
+    """π from stick fractions (reference: dp_select.py
+    ``_compute_pi_given_sticks``): log-space cumulative product."""
+    out = np.zeros(z.shape[:-1] + (z.shape[-1] + 1,))
+    out[..., :-1] = np.log(z)
+    out[..., 1:] += np.cumsum(np.log(1 - z), axis=-1)
+    return np.exp(out)
+
+
+def dp_posterior(x, layers, act=None):
+    """(α, β) = split(clamp(softplus(MLP(x)), 1e-3, 1e3)) (reference:
+    dp_select.py ``_inner_forward``)."""
+    out = mlp(x, layers, act)
+    out = np.clip(np.log1p(np.exp(-np.abs(out))) + np.maximum(out, 0),
+                  1e-3, 1e3)  # stable softplus
+    a, b = np.split(out, 2, axis=-1)
+    return a, b
+
+
+def beta_kl(a_q, b_q, a_p, b_p):
+    """KL(Beta(a_q,b_q) ‖ Beta(a_p,b_p)) — torch.distributions closed form."""
+    from scipy.special import betaln, digamma
+
+    return (betaln(a_p, b_p) - betaln(a_q, b_q)
+            + (a_q - a_p) * digamma(a_q)
+            + (b_q - b_p) * digamma(b_q)
+            + (a_p - a_q + b_p - b_q) * digamma(a_q + b_q))
+
+
+def bnpool_losses(s, adj, mask, K, a_q, b_q, alpha_DP=1.0, K_mu=10.0,
+                  K_var=1.0, eta=1.0, train_K=True):
+    """BNPool batched loss trio given assignments S and posterior (α, β)
+    (reference: tgp/poolers/bnpool.py ``compute_loss`` +
+    losses.py weighted_bce/kl/cluster_connectivity_prior)."""
+    B, n, k = s.shape
+    rec_adj = np.einsum("bnk,kj,bmj->bnm", s, K, s)
+    N = mask.sum(-1)
+    N2 = (N ** 2).astype(np.float64)
+    # class-balanced BCE (losses.py:1268-1356)
+    logits, targets = rec_adj, adj
+    bce = np.maximum(logits, 0) - logits * targets + np.log1p(
+        np.exp(-np.abs(logits)))
+    edge_mask = (adj != 0) & mask[:, :, None] & mask[:, None, :]
+    n_edges = edge_mask.sum((-1, -2))
+    n_not = np.clip(N2 - n_edges, 1, None)
+    balance = n_not / np.clip(n_edges, 1, None)
+    bce = np.where(edge_mask, bce * balance[:, None, None], bce)
+    bce = bce * mask[:, :, None] * mask[:, None, :]
+    rec_loss = float(np.mean(bce.sum((-1, -2)) / N2))
+    # KL (losses.py:1359-1443)
+    kl_n = beta_kl(a_q, b_q, np.ones(k - 1), np.ones(k - 1) * alpha_DP).sum(-1)
+    kl = float(np.mean((kl_n * mask).sum(-1) / N2))
+    # K prior (losses.py:1446-1517)
+    if train_K:
+        eye = np.eye(k)
+        K_mu_mat = K_mu * eye - K_mu * (1 - eye)
+        prior = (0.5 * (K - K_mu_mat) ** 2 / K_var).sum()
+        kp = float(np.mean(prior / B / N2))
+    else:
+        kp = 0.0
+    return {"quality": rec_loss, "kl": eta * kl, "K_prior": kp}
+
+
+# ---------------------------------------------------------------------------
+# k-MIS (reference: tgp/select/kmis_select.py:35-388 + poolers/kmis.py)
+# ---------------------------------------------------------------------------
+
+
+def kmis_mis_cluster(ei, n, rank, order_k=1):
+    """Transcription of ``maximal_independent_set_cluster``: greedy k-MIS in
+    rank order, then every node joins the min-rank MIS member within k hops."""
+    def khop_min(vals):
+        for _ in range(order_k):
+            nxt = np.full(n, n, dtype=np.int64)
+            np.minimum.at(nxt, ei[1], vals[ei[0]])
+            vals = np.minimum(nxt, vals)
+        return vals
+
+    mis = np.zeros(n, dtype=bool)
+    mask = np.zeros(n, dtype=bool)
+    min_rank = rank.copy()
+    while not mask.all():
+        mr = khop_min(min_rank)
+        mis = mis | (rank == mr)
+        mask = mis.copy()
+        for _ in range(order_k):
+            nxt = np.zeros(n, dtype=bool)
+            np.maximum.at(nxt, ei[1], mask[ei[0]])
+            mask = mask | nxt
+        min_rank = np.where(mask, n, rank)
+    min_rank = np.where(mis, rank, n)
+    min_rank = khop_min(min_rank)
+    # representative node of each cluster (rank → node lookup)
+    inv = np.zeros(n + 1, dtype=np.int64)
+    inv[np.minimum(rank, n)] = np.arange(n)
+    cluster = inv[np.minimum(min_rank, n)]
+    cluster = np.where(min_rank >= n, np.arange(n), cluster)
+    return mis, cluster
+
+
+def run_kmis(graphs, W_lin, b_lin, order_k=1, score_heuristic="greedy",
+             k_max=None, remove_self_loops=True):
+    """KMIS pooler forward: linear-sigmoid scores, greedy heuristic
+    score/k-hop-sums, rank by descending score, k-MIS cluster, score-weighted
+    reduce, coalesced connect.  Supernode slot = representative node position
+    (the JAX package's uncompacted layout)."""
+    B = len(graphs)
+    if k_max is None:
+        k_max = max(g[0].shape[0] for g in graphs)
+    F = graphs[0][0].shape[1]
+    x_pool = np.zeros((B, k_max, F))
+    adj_pool = np.zeros((B, k_max, k_max))
+    mask_pool = np.zeros((B, k_max), dtype=bool)
+    for b, g in enumerate(graphs):
+        x = np.asarray(g[0], np.float64)
+        ei = np.asarray(g[1])
+        ew = np.asarray(g[2], np.float64) if len(g) > 2 else np.ones(ei.shape[1])
+        n = x.shape[0]
+        score = 1.0 / (1.0 + np.exp(-(x @ W_lin + b_lin)[:, 0]))
+        if score_heuristic == "greedy":
+            k_sums = np.ones(n)
+        elif score_heuristic == "w-greedy":
+            k_sums = score.copy()
+        else:
+            k_sums = None
+        upd = score.copy()
+        if k_sums is not None:
+            for _ in range(order_k):
+                add = np.zeros(n)
+                np.add.at(add, ei[1], k_sums[ei[0]])
+                k_sums = k_sums + add
+            upd = score / k_sums
+        order = np.argsort(-upd, kind="stable")
+        rank = np.zeros(n, dtype=np.int64)
+        rank[order] = np.arange(n)
+        mis, cluster = kmis_mis_cluster(ei, n, rank, order_k)
+        np.add.at(x_pool[b], cluster, x * score[:, None])
+        mask_pool[b, np.nonzero(mis)[0]] = True
+        cs, cr = cluster[ei[0]], cluster[ei[1]]
+        keep = ~(remove_self_loops & (cs == cr))
+        np.add.at(adj_pool[b], (cs[keep], cr[keep]), ew[keep])
+    return {"x_pool": x_pool, "adj_pool": adj_pool, "mask": mask_pool}
+
+
+# ---------------------------------------------------------------------------
+# LaPool (reference: tgp/select/lapool_select.py:81-426 + poolers/lapool.py)
+# ---------------------------------------------------------------------------
+
+
+def run_lapool(graphs, shortest_path_reg=False, k_max=None,
+               remove_self_loops=True, degree_norm=True):
+    """LaPool forward: Laplacian-signal leaders (v = ‖deg·x − Ax‖, leader iff
+    v_i ≥ max over neighbors), cosine-softmax follower assignment, optional
+    β = 1/shortest-path regularization applied AFTER the softmax, leaders
+    one-hot; then SᵀX / SᵀAS + postprocess."""
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import shortest_path as sp_dist
+
+    B = len(graphs)
+    if k_max is None:
+        k_max = max(g[0].shape[0] for g in graphs)
+    F = graphs[0][0].shape[1]
+    s_out = []
+    x_pool = np.zeros((B, k_max, F))
+    adj_pool = np.zeros((B, k_max, k_max))
+    mask_pool = np.zeros((B, k_max), dtype=bool)
+    for b, g in enumerate(graphs):
+        x = np.asarray(g[0], np.float64)
+        ei = np.asarray(g[1])
+        ew = np.asarray(g[2], np.float64) if len(g) > 2 else np.ones(ei.shape[1])
+        n = x.shape[0]
+        A = np.zeros((n, n))
+        np.add.at(A, (ei[0], ei[1]), ew)
+        deg = A.sum(-1)
+        v = np.linalg.norm(deg[:, None] * x - A @ x, axis=-1)
+        nbr = np.where(A != 0, v[None, :], -np.inf).max(-1)
+        leader = v >= nbr
+        lead_idx = np.nonzero(leader)[0]
+        k = lead_idx.shape[0]
+        xl = x[lead_idx]
+        cos = (x @ xl.T) / (
+            np.linalg.norm(x, axis=-1, keepdims=True)
+            * np.linalg.norm(xl, axis=-1)[None, :] + 1e-8)
+        s = softmax(cos, axis=-1)
+        if shortest_path_reg and ei.size:
+            spm = csr_matrix((np.ones(ei.shape[1]), (ei[0], ei[1])),
+                             shape=(n, n))
+            dist = sp_dist(spm, directed=False, unweighted=True)
+            beta = np.zeros((n, n))
+            nz = dist != 0
+            with np.errstate(divide="ignore"):
+                beta[nz] = 1.0 / dist[nz]
+            beta[~np.isfinite(beta)] = 0.0
+            s = beta[:, lead_idx] * s
+        s[lead_idx] = np.eye(k)[np.arange(k)]
+        s_full = np.zeros((n, k_max))
+        s_full[:, :k] = s
+        s_out.append(s_full)
+        x_pool[b] = s_full.T @ x
+        adj_pool[b] = s_full.T @ A @ s_full
+        mask_pool[b, :k] = True
+    adj_pool = postprocess_adj(adj_pool, remove_self_loops=remove_self_loops,
+                               degree_norm=degree_norm)
+    adj_pool *= mask_pool[:, :, None] * mask_pool[:, None, :]
+    return {"s": s_out, "x_pool": x_pool, "adj_pool": adj_pool,
+            "mask": mask_pool}
+
+
+# ---------------------------------------------------------------------------
 # MaxCut score net (reference: tgp/select/maxcut_select.py:18-130)
 # ---------------------------------------------------------------------------
 

@@ -111,7 +111,13 @@ def test_lapool_shortest_path_reg():
     out = pooler(b)  # eager (host csgraph) path
     s = np.asarray(out.so.s)
     nm = np.asarray(b.node_mask)
-    np.testing.assert_allclose(s[nm].sum(-1), 1.0, atol=1e-4)
+    # β = 1/dist multiplies the softmax OUTPUT (reference semantics:
+    # lapool_select.py ``s = beta * s``), so follower rows sum to ≤ 1 while
+    # leader rows stay exactly one-hot
+    sums = s[nm].sum(-1)
+    assert (sums <= 1.0 + 1e-5).all() and (sums > 0).all()
+    leader = np.asarray(out.so.extras["leader"])[np.asarray(b.node_mask)]
+    np.testing.assert_allclose(sums[leader], 1.0, atol=1e-6)
     # regularization changes follower assignments vs the plain path
     out0 = get_pooler("lap")(b)
     assert not np.allclose(s, np.asarray(out0.so.s))

@@ -241,6 +241,114 @@ def test_maxcut_scores_and_loss_match_oracle():
                                rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.parametrize("method", ["softmax", "tanh", "sigmoid"])
+def test_ec_matches_oracle(method):
+    graphs = make_graphs()
+    params, out, b = run_mine("ec", graphs, k=4, edge_score_method=method)
+    flat = jax.tree.map(np.asarray, params["params"])
+    lin = flat["selector"]["lin"]
+    ref = oracle.run_ec(graphs, np.asarray(lin["kernel"], np.float64),
+                        np.asarray(lin["bias"], np.float64), method=method,
+                        k_max=out.graph.max_nodes)
+    x_mine, adj_mine, mask_mine = _pooled_dense(out)
+    np.testing.assert_array_equal(mask_mine, ref["mask"], err_msg="mask")
+    np.testing.assert_allclose(x_mine, ref["x_pool"], rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(adj_mine, ref["adj_pool"], rtol=RTOL, atol=ATOL)
+
+
+def test_stick_breaking_matches_oracle():
+    rng = np.random.default_rng(0)
+    z = rng.uniform(0.05, 0.95, size=(4, 7, 5))
+    from tgp_tpu.select.dp import stick_breaking
+
+    np.testing.assert_allclose(np.asarray(stick_breaking(jnp_arr(z))),
+                               oracle.stick_breaking(z), rtol=1e-5, atol=1e-7)
+
+
+def jnp_arr(a):
+    import jax.numpy as jnp
+    return jnp.asarray(a, jnp.float32)
+
+
+def test_bnpool_matches_oracle():
+    graphs = make_graphs()
+    b = flax_batch(graphs)
+    pooler = get_pooler("bnpool", in_channels=5, k=4)
+    params = pooler.init(
+        {"params": jax.random.key(42), "sample": jax.random.key(1)}, b)
+    out = pooler.apply(params, b, rngs={"sample": jax.random.key(7)})
+    layers = extract_mlp_layers(params["params"]["selector"])
+    K = np.asarray(params["params"]["K"], np.float64)
+
+    x, adj, mask = oracle.dense_batch(graphs, n_max=b.max_nodes)
+    # posterior params from the same weights
+    a_ref, b_ref = oracle.dp_posterior(x, layers)
+    a_mine = np.asarray(out.so.extras["q_alpha"])
+    b_mine = np.asarray(out.so.extras["q_beta"])
+    np.testing.assert_allclose(a_mine * mask[..., None],
+                               a_ref * mask[..., None], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(b_mine * mask[..., None],
+                               b_ref * mask[..., None], rtol=1e-4, atol=1e-5)
+
+    # rows of S must be stick-breaking distributions (sum to 1 on valid rows)
+    s = np.asarray(out.so.s, np.float64)
+    np.testing.assert_allclose(s.sum(-1)[mask], 1.0, rtol=1e-5)
+
+    # losses given the sampled S (the sampler itself is RNG-dependent)
+    ref_loss = oracle.bnpool_losses(
+        s, adj, mask, K, a_ref * mask[..., None] + (~mask[..., None]),
+        b_ref * mask[..., None] + (~mask[..., None]))
+    # masked q rows: oracle uses 1s on padding (KL(Beta(1,1)‖Beta(1,1))=0 —
+    # matches the reference's masked sum)
+    for name in ("quality", "kl", "K_prior"):
+        np.testing.assert_allclose(np.asarray(out.loss[name]),
+                                   ref_loss[name], rtol=1e-4, atol=1e-5,
+                                   err_msg=name)
+
+    # pooled outputs given S
+    np.testing.assert_allclose(np.asarray(out.dense.x),
+                               oracle.reduce_pool(x, s), rtol=1e-4, atol=1e-5)
+    ref_adj = oracle.postprocess_adj(oracle.dense_connect(adj, s),
+                                     remove_self_loops=True, degree_norm=True)
+    np.testing.assert_allclose(np.asarray(out.dense.adj), ref_adj,
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("order_k", [1, 2])
+def test_kmis_matches_oracle(order_k):
+    graphs = make_graphs()
+    params, out, b = run_mine("kmis", graphs, k=4, order_k=order_k)
+    lin = jax.tree.map(np.asarray, params["params"])["selector"]["lin"]
+    ref = oracle.run_kmis(graphs, np.asarray(lin["kernel"], np.float64),
+                          np.asarray(lin["bias"], np.float64),
+                          order_k=order_k, k_max=out.graph.max_nodes)
+    x_mine, adj_mine, mask_mine = _pooled_dense(out)
+    np.testing.assert_array_equal(mask_mine, ref["mask"], err_msg="mask")
+    np.testing.assert_allclose(x_mine, ref["x_pool"], rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(adj_mine, ref["adj_pool"], rtol=RTOL, atol=ATOL)
+
+
+@pytest.mark.parametrize("sp_reg", [False, True])
+def test_lapool_matches_oracle(sp_reg):
+    graphs = make_graphs()
+    b = flax_batch(graphs)
+    pooler = get_pooler("lap", shortest_path_reg=sp_reg)
+    out = pooler.apply({}, b)
+    ref = oracle.run_lapool(graphs, shortest_path_reg=sp_reg,
+                            k_max=b.max_nodes)
+    s_mine = np.asarray(out.so.s)
+    ng, nm = np.asarray(b.node_graph), np.asarray(b.node_mask)
+    for gi, s_ref in enumerate(ref["s"]):
+        np.testing.assert_allclose(s_mine[(ng == gi) & nm], s_ref,
+                                   rtol=RTOL, atol=ATOL,
+                                   err_msg=f"graph {gi} S")
+    np.testing.assert_array_equal(np.asarray(out.dense.mask), ref["mask"])
+    np.testing.assert_allclose(np.asarray(out.dense.x), ref["x_pool"],
+                               rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(out.dense.adj), ref["adj_pool"],
+                               rtol=RTOL, atol=ATOL)
+
+
 @pytest.mark.parametrize("alias", DENSE_ALIASES)
 def test_dense_pooler_matches_oracle_unbatched(alias):
     """The sparse/unbatched twin must produce the SAME losses as the oracle's

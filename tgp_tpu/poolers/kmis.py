@@ -1,8 +1,8 @@
 """KMISPooling (reference: tgp/poolers/kmis.py:128-246; Bacciu et al. 2023).
 
-``reduce_red_op=None`` (default) keeps only the MIS members' features scaled
-by their score (reference kmis.py:221-225); any other reduce op aggregates
-the whole cluster."""
+``reduce_red_op="sum"`` (reference default, kmis.py:137) aggregates the
+whole cluster with score weights; ``None`` keeps only the MIS members'
+features scaled by their score (reference kmis.py:240-244)."""
 
 from __future__ import annotations
 
@@ -27,7 +27,7 @@ class KMISPooling(SRCPooling):
     order_k: int = 1
     scorer: str = "linear"
     score_heuristic: Optional[str] = "greedy"
-    reduce_red_op: Optional[str] = None
+    reduce_red_op: Optional[str] = "sum"
     s_inv_op: str = "transpose"
     connect_red_op: str = "sum"
     remove_self_loops: bool = True

@@ -24,7 +24,7 @@ __all__ = ["LaPooling"]
 class LaPooling(DenseSRCPooling):
     shortest_path_reg: bool = False
     remove_self_loops: bool = True
-    degree_norm: bool = False
+    degree_norm: bool = True  # reference default (tgp/poolers/lapool.py:82)
     edge_weight_norm: bool = False
     s_inv_op: str = "transpose"
     sparse_output: bool = False

@@ -52,11 +52,13 @@ def lapool_select(batch: GraphBatch, *, shortest_path_reg: bool = False,
     lx = deg[:, None] * x - ax
     v = jnp.linalg.norm(lx, axis=-1)
 
-    # strict local maximum over incident edges (undirected graphs list both
-    # directions, so in-neighbors suffice)
+    # local maximum over incident edges — NON-strict ``>=`` like the
+    # reference (lapool_select.py:_forward_batched ``v_norm >= neighbor_max``)
+    # so the per-graph argmax is always a leader and adjacent ties both lead
+    # (undirected graphs list both directions, so in-neighbors suffice)
     neigh_max = segment_max(v[s], r, N, mask=em)
     neigh_max = jnp.where(jnp.isfinite(neigh_max), neigh_max, -jnp.inf)
-    leader = batch.node_mask & (v > neigh_max)
+    leader = batch.node_mask & (v >= neigh_max)
 
     # leader slots: rank among leaders of the same graph
     slot = segment_topk_rank(-jnp.arange(N, dtype=jnp.float32),
@@ -75,12 +77,14 @@ def lapool_select(batch: GraphBatch, *, shortest_path_reg: bool = False,
     ln = x_lead / jnp.clip(
         jnp.linalg.norm(x_lead, axis=-1, keepdims=True), 1e-12, None)
     cos = jnp.einsum("nf,nkf->nk", xn, ln[batch.node_graph])  # [N, Kmax]
-    if sp_weight is not None:
-        cos = cos * sp_weight
     valid_cols = slot_valid[batch.node_graph]
     cos = jnp.where(valid_cols, cos, -jnp.inf)
     soft = jax.nn.softmax(cos, axis=-1)
     soft = jnp.where(valid_cols, soft, 0.0)
+    if sp_weight is not None:
+        # β multiplies the softmax output (reference: ``s = beta * s``,
+        # lapool_select.py:_forward_batched), NOT the logits
+        soft = soft * sp_weight
 
     # leaders one-hot to their own slot; followers get the softmax
     onehot = jax.nn.one_hot(slot, Kmax, dtype=x.dtype) * leader[:, None]
@@ -122,7 +126,12 @@ def shortest_path_weights(batch: GraphBatch, leader, slot) -> "jax.Array":
                                   indices=idx)
         for row, i in enumerate(idx):
             dist = d[row]
-            w = np.where(np.isfinite(dist) & (dist > 0), 1.0 / dist, 1.0)
+            # reference β (lapool_select.py): 1/dist for reachable non-self
+            # nodes, 0 for self (irrelevant — leaders are overwritten by
+            # their one-hot) and 0 for unreachable (1/inf)
+            finite_pos = np.isfinite(dist) & (dist > 0)
+            safe = np.where(finite_pos, dist, 1.0)
+            w = np.where(finite_pos, 1.0 / safe, 0.0)
             same = ng == ng[i]
             out[same, slot_np[i]] = w[same]
     return jnp.asarray(out)
