@@ -584,6 +584,137 @@ def run_ec(graphs, W_lin, b_lin, method="softmax", add_to_edge_score=0.5,
 
 
 # ---------------------------------------------------------------------------
+# NDP / Kron reduction (reference: tgp/connect/kron_conn.py:117-168 +
+# select/ndp_select.py:155-258)
+# ---------------------------------------------------------------------------
+
+
+def kron_pool_adj(g, idx_pos, sparse_threshold=1e-2):
+    """Pooled adjacency by Kron reduction, dense transcription:
+    L' = L_pp − L_pn L_nn⁻¹ L_np, A' = −L', |w|≤threshold pruned, zero diag."""
+    ei = np.asarray(g[1])
+    ew = np.asarray(g[2], np.float64) if len(g) > 2 else np.ones(ei.shape[1])
+    n = g[0].shape[0]
+    A = np.zeros((n, n))
+    np.add.at(A, (ei[0], ei[1]), ew)
+    L = np.diag(A.sum(-1)) - A
+    idx_pos = np.asarray(idx_pos)
+    idx_neg = np.setdiff1d(np.arange(n), idx_pos)
+    if len(idx_pos) <= 1:
+        Lnew = -np.ones((1, 1))
+    elif len(idx_neg) == 0:
+        Lnew = L[np.ix_(idx_pos, idx_pos)]
+    else:
+        Lpp = L[np.ix_(idx_pos, idx_pos)]
+        Lpn = L[np.ix_(idx_pos, idx_neg)]
+        Lnp = L[np.ix_(idx_neg, idx_pos)]
+        Lnn = L[np.ix_(idx_neg, idx_neg)]
+        try:
+            sol = np.linalg.solve(Lnn, Lnp)
+        except np.linalg.LinAlgError:
+            sol = np.linalg.solve(Lnn + np.eye(len(idx_neg)) * 1e-6, Lnp)
+        Lnew = Lpp - Lpn @ sol
+        Lnew = (Lnew + Lnew.T) / 2.0
+    A_pool = -Lnew
+    if sparse_threshold > 0:
+        A_pool = A_pool * (np.abs(A_pool) > sparse_threshold)
+    np.fill_diagonal(A_pool, 0.0)
+    return A_pool
+
+
+def eval_cut(g, z):
+    """Normalized cut size zᵀLz / (2·vol) (reference: ndp_select.py:155-172)."""
+    ei = np.asarray(g[1])
+    ew = np.asarray(g[2], np.float64) if len(g) > 2 else np.ones(ei.shape[1])
+    n = g[0].shape[0]
+    A = np.zeros((n, n))
+    np.add.at(A, (ei[0], ei[1]), ew)
+    L = np.diag(A.sum(-1)) - A
+    return (z @ L @ z) / (2 * ew.sum())
+
+
+# ---------------------------------------------------------------------------
+# Total-assignment downstream math (graclus/sep-style: given a matching or
+# cluster map, reduce = sum within cluster, connect = coalesced relabel;
+# reference: tgp/reduce/base_reduce.py sparse path + connect/base_conn.py)
+# ---------------------------------------------------------------------------
+
+
+def pool_given_clusters(g, cluster, weight=None, k_max=None,
+                        remove_self_loops=True):
+    """X'[c] = Σ_{i∈c} w_i x_i ; A'[c,d] = Σ_{(i,j)} w_ij over relabeled
+    edges (self-loops optionally dropped).  ``cluster`` maps node → slot."""
+    x = np.asarray(g[0], np.float64)
+    ei = np.asarray(g[1])
+    ew = np.asarray(g[2], np.float64) if len(g) > 2 else np.ones(ei.shape[1])
+    if k_max is None:
+        k_max = int(cluster.max()) + 1
+    if weight is None:
+        weight = np.ones(x.shape[0])
+    x_pool = np.zeros((k_max, x.shape[1]))
+    np.add.at(x_pool, cluster, x * weight[:, None])
+    adj = np.zeros((k_max, k_max))
+    cs, cr = cluster[ei[0]], cluster[ei[1]]
+    keep = ~(remove_self_loops & (cs == cr))
+    np.add.at(adj, (cs[keep], cr[keep]), ew[keep])
+    return x_pool, adj
+
+
+# ---------------------------------------------------------------------------
+# EigenPool (reference: tgp/select/eigenpool_select.py:17-153,
+# reduce/eigenpool_reduce.py, connect/eigenpool_conn.py)
+# ---------------------------------------------------------------------------
+
+
+def eigen_theta(g, labels, num_modes, K):
+    """Θ [N, H·K]: per-cluster normalized-Laplacian eigenvectors, modes
+    beyond n−1 repeat the last, sign flip iff first entry < 0, singleton
+    clusters write their self-loop weight."""
+    ei = np.asarray(g[1])
+    ew = np.asarray(g[2], np.float64) if len(g) > 2 else np.ones(ei.shape[1])
+    n = g[0].shape[0]
+    A = np.zeros((n, n))
+    np.add.at(A, (ei[0], ei[1]), ew)
+    A = np.maximum(A, A.T)
+    theta = np.zeros((n, num_modes * K))
+    for c in np.unique(labels):
+        nodes = np.nonzero(labels == c)[0]
+        Ac = A[np.ix_(nodes, nodes)]
+        if nodes.size == 1:
+            theta[nodes[0], c::K] = float(Ac[0, 0])
+            continue
+        d = Ac.sum(0) + np.spacing(np.float64(0))
+        dis = 1.0 / np.sqrt(d)
+        L = np.eye(nodes.size) - dis[:, None] * Ac * dis[None, :]
+        _, v = np.linalg.eigh(L)
+        for h in range(num_modes):
+            col = v[:, min(h, nodes.size - 1)]
+            if col[0] < 0:
+                col = -col
+            theta[nodes, h * K + c] = col
+    return theta, A
+
+
+def run_eigen_given_labels(g, labels, num_modes, K, remove_self_loops=True,
+                           degree_norm=True):
+    """EigenPool downstream given cluster labels: x' = mode-major reshape of
+    Θᵀx → [K, H·F]; A' = Ωᵀ(A − A_int)Ω postprocessed."""
+    theta, A = eigen_theta(g, labels, num_modes, K)
+    x = np.asarray(g[0], np.float64)
+    raw = theta.T @ x  # [H·K, F]
+    F = x.shape[1]
+    x_pool = raw.reshape(num_modes, K, F).transpose(1, 0, 2).reshape(
+        K, num_modes * F)
+    omega = np.zeros((labels.shape[0], K))
+    omega[np.arange(labels.shape[0]), labels] = 1.0
+    inter = A * (labels[:, None] != labels[None, :])
+    adj = omega.T @ inter @ omega
+    adj = postprocess_adj(adj[None], remove_self_loops=remove_self_loops,
+                          degree_norm=degree_norm)[0]
+    return {"theta": theta, "x_pool": x_pool, "adj_pool": adj}
+
+
+# ---------------------------------------------------------------------------
 # BNPool (reference: tgp/poolers/bnpool.py:141-557 + select/dp_select.py)
 # ---------------------------------------------------------------------------
 

@@ -256,6 +256,98 @@ def test_ec_matches_oracle(method):
     np.testing.assert_allclose(adj_mine, ref["adj_pool"], rtol=RTOL, atol=ATOL)
 
 
+def test_ndp_kron_matches_oracle():
+    """Given the sign partition my NDP chose, the Kron-reduced pooled
+    adjacency must match the reference formula (kron_conn.py:117-168)."""
+    for seed in (0, 3):
+        g = erdos_renyi_graph(14, p=0.35, num_features=4, seed=seed)
+        b = flax_batch([g], pad_nodes=16, pad_edges=128)
+        out = get_pooler("ndp")(b)
+        sel = np.asarray(out.so.node_sel_mask)[:14]
+        idx_pos = np.nonzero(sel)[0]
+        k = idx_pos.shape[0]
+        ref_adj = oracle.kron_pool_adj(g, idx_pos)
+        x_mine, adj_mine, mask_mine = _pooled_dense(out)
+        np.testing.assert_allclose(adj_mine[0][:k, :k], ref_adj,
+                                   rtol=1e-3, atol=1e-5)
+        # partial selection keeps the positive nodes' features
+        np.testing.assert_allclose(x_mine[0][:k], np.asarray(g[0])[idx_pos],
+                                   rtol=1e-5, atol=1e-6)
+        # the chosen partition is a valid spectral cut (>= 0.5 of volume)
+        z = np.where(sel, 1.0, -1.0)
+        assert oracle.eval_cut(g, z) >= 0.5 - 1e-6
+
+
+def test_graclus_downstream_matches_oracle():
+    """Graclus matching is algorithm-specific (reference uses torch_cluster's
+    randomized matching; ours is deterministic C++ heavy-edge — documented in
+    PARITY.md).  Given OUR matching, the reduce/connect math must match the
+    reference formulas; the matching itself must be a valid maximal matching
+    on graph edges."""
+    graphs = make_graphs()
+    b = flax_batch(graphs)
+    out = get_pooler("graclus")(b)
+    ci = np.asarray(out.so.cluster_index)
+    w = np.asarray(out.so.weight)
+    ng, nm = np.asarray(b.node_graph), np.asarray(b.node_mask)
+    npos = np.asarray(b.node_pos)
+    x_mine, adj_mine, mask_mine = _pooled_dense(out)
+    offset = 0
+    for gi, g in enumerate(graphs):
+        n = g[0].shape[0]
+        ci_g = ci[offset:offset + n] - offset
+        # cluster slot = representative node's position within the graph
+        ref_x, ref_adj = oracle.pool_given_clusters(
+            g, ci_g, weight=w[offset:offset + n],
+            k_max=out.graph.max_nodes)
+        np.testing.assert_allclose(x_mine[gi], ref_x, rtol=RTOL, atol=ATOL)
+        np.testing.assert_allclose(adj_mine[gi], ref_adj, rtol=RTOL, atol=ATOL)
+        # matching validity: every non-singleton cluster is an adjacent pair
+        ei = np.asarray(g[1])
+        adj_set = {(int(a), int(c)) for a, c in zip(ei[0], ei[1])}
+        for c in np.unique(ci_g):
+            members = np.nonzero(ci_g == c)[0]
+            assert len(members) <= 2, "graclus cluster larger than a pair"
+            if len(members) == 2:
+                assert (int(members[0]), int(members[1])) in adj_set
+        offset += n
+
+
+def test_eigenpool_downstream_matches_oracle():
+    """Spectral clustering labels are sklearn-specific (documented in
+    PARITY.md); given OUR labels, Θ construction, mode-major reduce, and
+    Ωᵀ(A−A_int)Ω connect must match the reference formulas."""
+    g = erdos_renyi_graph(14, p=0.35, num_features=4, seed=1)
+    b = flax_batch([g], pad_nodes=16, pad_edges=128)
+    pooler = get_pooler("eigen", k=4, num_modes=3)
+    out = pooler(b)
+    theta_mine = np.asarray(out.so.s)[:14]  # Θ rides in so.s ([N, H·K])
+    # recover labels from Θ's mode-0 block (one nonzero column per node;
+    # singleton clusters may have an all-zero row — fall back to any mode)
+    nz = np.abs(theta_mine.reshape(14, 3, 4)).sum(1)
+    labels = nz.argmax(-1)
+    ref = oracle.run_eigen_given_labels(g, labels, num_modes=3, K=4)
+    # column layout: mine h*K+c (mode-major) == oracle
+    np.testing.assert_allclose(theta_mine, ref["theta"], rtol=1e-4,
+                               atol=1e-6, err_msg="theta")
+    x_mine, adj_mine, mask_mine = _pooled_dense(out)
+    np.testing.assert_allclose(x_mine[0][:4], ref["x_pool"], rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(adj_mine[0][:4, :4], ref["adj_pool"],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_nopool_is_identity():
+    graphs = make_graphs()
+    b = flax_batch(graphs)
+    out = get_pooler("nopool")(b)
+    np.testing.assert_array_equal(np.asarray(out.graph.x), np.asarray(b.x))
+    np.testing.assert_array_equal(np.asarray(out.graph.senders),
+                                  np.asarray(b.senders))
+    np.testing.assert_array_equal(np.asarray(out.so.cluster_index),
+                                  np.arange(b.num_nodes))
+
+
 def test_stick_breaking_matches_oracle():
     rng = np.random.default_rng(0)
     z = rng.uniform(0.05, 0.95, size=(4, 7, 5))

@@ -19,6 +19,7 @@ class EigenPooling(HostPooling):
     k: int = 8
     num_modes: int = 3
     seed: int = 0
+    degree_norm: bool = True
 
     IS_DENSE = True
 
@@ -26,7 +27,8 @@ class EigenPooling(HostPooling):
         return eigenpool_level
 
     def level_kwargs(self):
-        return {"k": self.k, "num_modes": self.num_modes, "seed": self.seed}
+        return {"k": self.k, "num_modes": self.num_modes, "seed": self.seed,
+                "degree_norm": self.degree_norm}
 
     def reduce_level(self, x, so):
         return eigenpool_reduce(x, so)

@@ -20,26 +20,27 @@ __all__ = ["eigenpool_level"]
 
 
 def _subgraph_eigvecs(A_sub: np.ndarray, H: int) -> np.ndarray:
+    """First ``H`` eigenvectors of the cluster's NORMALIZED Laplacian,
+    reference-exact (eigenpool_select.py:17-68 + :129-153): modes beyond
+    ``n−1`` repeat the last eigenvector; sign flipped iff the first entry is
+    negative."""
     n = A_sub.shape[0]
-    deg = A_sub.sum(1)
-    L = np.diag(deg) - A_sub
+    d = A_sub.sum(0).reshape(-1) + np.spacing(np.array(0, dtype=A_sub.dtype))
+    dis = 1.0 / np.sqrt(d)
+    L = np.eye(n, dtype=A_sub.dtype) - (dis[:, None] * A_sub * dis[None, :])
     w, v = np.linalg.eigh(L)
     out = np.zeros((n, H))
-    h_eff = min(H, n)
-    vecs = v[:, :h_eff]  # smallest eigenvalues first
-    # sign fix: first nonzero entry positive (reference
-    # eigenpool_select.py:146-149 determinism trick)
-    for j in range(h_eff):
-        col = vecs[:, j]
-        nz = np.nonzero(np.abs(col) > 1e-12)[0]
-        if nz.size and col[nz[0]] < 0:
+    for j in range(H):
+        col = v[:, min(j, n - 1)]
+        if col[0] < 0:
             col = -col
         out[:, j] = col
     return out
 
 
 def eigenpool_level(edge_index, num_nodes, edge_weight=None, *, k: int = 8,
-                    num_modes: int = 3, seed: int = 0) -> dict:
+                    num_modes: int = 3, seed: int = 0,
+                    degree_norm: bool = True) -> dict:
     from sklearn.cluster import SpectralClustering
 
     A = to_csr(edge_index, num_nodes, edge_weight)
@@ -62,6 +63,12 @@ def eigenpool_level(edge_index, num_nodes, edge_weight=None, *, k: int = 8,
         nodes = np.nonzero(labels == c)[0]
         if nodes.size == 0:
             continue
+        if nodes.size == 1:
+            # reference quirk (eigenpool_select.py:136-139): a singleton
+            # cluster writes its self-loop weight (0 for simple graphs)
+            # into every mode column
+            theta[nodes[0], c::K] = float(Ad[nodes[0], nodes[0]])
+            continue
         vecs = _subgraph_eigvecs(Ad[np.ix_(nodes, nodes)], H)
         for h in range(H):
             theta[nodes, h * K + c] = vecs[:, h]
@@ -72,6 +79,12 @@ def eigenpool_level(edge_index, num_nodes, edge_weight=None, *, k: int = 8,
     inter = Ad * (labels[:, None] != labels[None, :])
     A_pool = omega.T @ inter @ omega
     np.fill_diagonal(A_pool, 0.0)
+    if degree_norm:
+        # reference default: EigenPoolConnect(degree_norm=True,
+        # eigenpool_conn.py:77) → postprocess_adj_pool_sparse sym norm with
+        # sender-side degrees clamped at eps
+        d = np.sqrt(np.clip(A_pool.sum(1), 1e-8, None))
+        A_pool = A_pool / d[:, None] / d[None, :]
     ei_pool, ew_pool = csr_to_edge_index(sp.csr_matrix(A_pool))
     return {
         "kind": "eigen",
