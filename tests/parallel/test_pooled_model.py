@@ -1,0 +1,114 @@
+"""End-to-end sharded pooled model: GCN → (distributed top-k → repartition →
+coarse GCN) × L → readout on the 8-device virtual mesh must match a
+single-device NumPy reference."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tgp_tpu.parallel.pooled_model import (
+    init_pooled_params,
+    make_sharded_pooled_forward,
+    prepare_sharded_graph,
+)
+from tests.utils_graphs import erdos_renyi_graph
+
+
+def _mesh():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return Mesh(np.array(devs[:8]), ("gp",))
+
+
+def _padded_reference(params, x_pad, ei, n_nodes, n_pad, ks):
+    """Single-device NumPy reference with the same padding semantics."""
+    params = jax.tree.map(np.asarray, params)
+    s_all = np.concatenate([ei[0], np.arange(n_nodes)])
+    r_all = np.concatenate([ei[1], np.arange(n_nodes)])
+    w = np.ones(s_all.shape[0], np.float64)
+    deg = np.zeros(n_nodes)
+    np.add.at(deg, s_all, w)
+    dinv = 1.0 / np.sqrt(np.clip(deg, 1e-12, None))
+    w = w * dinv[s_all] * dinv[r_all]
+
+    x = np.asarray(x_pad, np.float64)
+    h_msg = x @ params["W1"]
+    h = np.zeros((n_pad, h_msg.shape[1]))
+    np.add.at(h, r_all, h_msg[s_all] * w[:, None])
+    h = np.maximum(h + params["b1"], 0.0)
+
+    cur_valid = n_nodes
+    s_cur, r_cur, w_cur = s_all, r_all, w
+    h_glob = None
+    for level, k in enumerate(ks):
+        p = params[f"p{level}"]
+        score = np.tanh((h @ p) / max(np.linalg.norm(p), 1e-12))
+        score[cur_valid:] = -np.inf
+        order = np.argsort(-score, kind="stable")
+        rank = np.argsort(order, kind="stable")
+        kept = order[:k]
+        gate = score[kept]
+        gate[~np.isfinite(gate)] = 0.0
+        xp = h[kept] * gate[:, None]
+        new_s, new_r = rank[s_cur], rank[r_cur]
+        keep = (new_s < k) & (new_r < k) & (w_cur != 0)
+        s_cur = np.where(keep, new_s, 0)
+        r_cur = np.where(keep, new_r, 0)
+        w_cur = np.where(keep, w_cur, 0.0)
+        m = xp @ params[f"W{level + 2}"]
+        agg = np.zeros((k, m.shape[1]))
+        np.add.at(agg, r_cur, m[s_cur] * w_cur[:, None])
+        h_glob = np.maximum(agg + params[f"b{level + 2}"], 0.0)
+        h = h_glob
+        cur_valid = k
+    z = h_glob.sum(0)
+    return z @ params["Wh"] + params["bh"], h_glob
+
+
+@pytest.mark.parametrize("n_nodes,num_levels", [(256, 1), (320, 1), (256, 2)])
+def test_sharded_pooled_forward_matches_reference(n_nodes, num_levels):
+    mesh = _mesh()
+    D = 8
+    x_np, ei = erdos_renyi_graph(n_nodes, p=0.05, num_features=12, seed=7)
+    S, R, W, n_pad, rows_per = prepare_sharded_graph(
+        ei[0], ei[1], None, n_nodes, D)
+    x = np.zeros((n_pad, 12), np.float32)
+    x[:n_nodes] = x_np
+
+    params = init_pooled_params(jax.random.key(0), 12, 16, 3,
+                                num_levels=num_levels)
+    fwd, ks = make_sharded_pooled_forward(
+        mesh, rows_per=rows_per, n_pad=n_pad, num_valid=n_nodes, ratio=0.5,
+        num_levels=num_levels)
+
+    shard = NamedSharding(mesh, P("gp"))
+    x_sh = jax.device_put(jnp.asarray(x), shard)
+    S_sh = jax.device_put(S, shard)
+    R_sh = jax.device_put(R, shard)
+    W_sh = jax.device_put(W, shard)
+
+    logits, h_last = fwd(params, x_sh, S_sh, R_sh, W_sh)
+    ref_logits, ref_h = _padded_reference(params, x, ei, n_nodes, n_pad, ks)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits,
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(h_last), ref_h,
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_scaling_harness_runs():
+    """Scaling-efficiency harness: edges/s vs device count on the virtual
+    mesh (wall-clock on virtual CPU devices is NOT a hardware number — this
+    pins the measurement machinery for when multi-chip hardware exists)."""
+    from tgp_tpu.parallel.scaling import measure_pooled_scaling
+
+    res = measure_pooled_scaling(n_nodes=512, n_feats=8, degree=4,
+                                 device_counts=(1, 2, 4, 8), iters=3)
+    assert set(res) == {1, 2, 4, 8}
+    for d, rec in res.items():
+        assert rec["edges_per_s"] > 0
+        assert np.isfinite(rec["seconds_per_step"])

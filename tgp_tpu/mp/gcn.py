@@ -46,6 +46,10 @@ class GCNConv(nn.Module):
     out_channels: int
     add_self_loops: bool = True
     use_bias: bool = True
+    #: dense path: set False when the input adjacency is already
+    #: GCN-normalized (a static adjacency can be normalized ONCE outside the
+    #: train step — saves two full [B,N,N] passes per layer per step)
+    normalize: bool = True
     #: use the Pallas sorted-CSR segment-sum kernel (requires a batch built
     #: with ``sort_edges=True``; self-loops are applied as a separate
     #: diagonal term so the sorted layout is preserved)
@@ -82,14 +86,16 @@ class GCNConv(nn.Module):
             return out
         if isinstance(batch, DenseGraphBatch):
             adj = batch.adj
-            if self.add_self_loops:
-                eye = jnp.eye(adj.shape[-1], dtype=adj.dtype)
-                m = batch.mask.astype(adj.dtype)
-                adj = adj + eye * m[:, :, None]  # A+I on valid nodes only
-            deg = jnp.clip(jnp.abs(adj).sum(-1), 1e-12, None)
-            dinv = jax.lax.rsqrt(deg)
-            adj = dinv[..., :, None] * adj * dinv[..., None, :]
-            out = jnp.einsum("bnm,bmf->bnf", adj, h)
+            if self.normalize:
+                if self.add_self_loops:
+                    eye = jnp.eye(adj.shape[-1], dtype=adj.dtype)
+                    m = batch.mask.astype(adj.dtype)
+                    adj = adj + eye * m[:, :, None]  # A+I on valid nodes only
+                deg = jnp.clip(jnp.abs(adj).sum(-1), 1e-12, None)
+                dinv = jax.lax.rsqrt(deg)
+                adj = dinv[..., :, None] * adj * dinv[..., None, :]
+            out = jnp.einsum("bnm,bmf->bnf", adj, h.astype(adj.dtype),
+                             preferred_element_type=h.dtype)
             out = jnp.where(batch.mask[..., None], out, 0.0)
         else:
             s, r, w = gcn_norm(batch, self.add_self_loops)

@@ -142,6 +142,252 @@ def sorted_segment_sum_pallas(msgs: jax.Array, rids: jax.Array,
     )(row_ptr, lo, hi, msgs)
 
 
+def _banded_kernel(row_ptr_ref, win_base_ref, lo_ref, hi_ref, x_hbm,
+                   send_hbm, w_hbm, out_ref, *, block_rows, block_edges,
+                   window, precision):
+    rb = pl.program_id(0)
+    r0 = rb * block_rows
+    e_start = row_ptr_ref[r0]
+    e_end = row_ptr_ref[r0 + block_rows]
+    base = win_base_ref[rb]
+    F = out_ref.shape[-1]
+
+    c0 = e_start // block_edges
+    n_chunks = jnp.maximum((e_end + block_edges - 1) // block_edges - c0, 0)
+
+    def body(x_win, send_buf, w_buf, x_sem, meta_sem):
+        # window of x rows covering every sender this row-block can touch
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(base, window), :], x_win, x_sem).start()
+
+        lo = lo_ref[:, 0:1]
+        hi = hi_ref[:, 0:1]
+
+        def make_dma(slot, c):
+            # Mosaic requires sublane-aligned (×8) slices, so copy the whole
+            # aligned 8-row group containing chunk row g and select in-VMEM.
+            g8 = ((c0 + c) // 8) * 8
+            return (
+                pltpu.make_async_copy(send_hbm.at[pl.ds(g8, 8), :],
+                                      send_buf.at[slot], meta_sem.at[slot, 0]),
+                pltpu.make_async_copy(w_hbm.at[pl.ds(g8, 8), :],
+                                      w_buf.at[slot], meta_sem.at[slot, 1]),
+            )
+
+        @pl.when(n_chunks > 0)
+        def _():
+            for d in make_dma(0, 0):
+                d.start()
+
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(base, window), :], x_win, x_sem).wait()
+
+        def chunk_body(c, acc):
+            slot = c % 2
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                for d in make_dma((c + 1) % 2, c + 1):
+                    d.start()
+
+            for d in make_dma(slot, c):
+                d.wait()
+            # select chunk row (c0+c) % 8 out of the aligned 8-row group via
+            # a sublane-masked reduction (dynamic sublane slicing is not
+            # allowed in VMEM)
+            gmod = (c0 + c) % 8
+            sub = jax.lax.broadcasted_iota(jnp.int32, (8, block_edges), 0)
+            send_row = jnp.sum(
+                jnp.where(sub == gmod, send_buf[slot], 0),
+                axis=0, keepdims=True)  # [1, BE] int32 (global sender ids)
+            w_row = jnp.sum(
+                jnp.where(sub == gmod, w_buf[slot], 0.0),
+                axis=0, keepdims=True)  # [1, BE] f32
+
+            # gather as a one-hot matmul: S_ohᵀ[j, e] = w_e·1[send_e == base+j]
+            iota_w = base + jax.lax.broadcasted_iota(
+                jnp.int32, (window, block_edges), 0)
+            s_oht = jnp.where(send_row == iota_w, w_row, 0.0)
+            msgs = jax.lax.dot_general(
+                s_oht, x_win[:], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision)  # [BE, F]
+
+            # scatter via the row-bounds one-hot (same as the unfused kernel)
+            e0 = (c0 + c) * block_edges
+            pos = e0 + jax.lax.broadcasted_iota(
+                jnp.int32, (block_rows, block_edges), 1)
+            r_oh = ((pos >= lo) & (pos < hi)).astype(jnp.float32)
+            return acc + jnp.dot(r_oh, msgs,
+                                 preferred_element_type=jnp.float32,
+                                 precision=precision)
+
+        acc = jnp.zeros((block_rows, F), jnp.float32)
+        acc = jax.lax.fori_loop(0, n_chunks, chunk_body, acc)
+        out_ref[:] = acc.astype(out_ref.dtype)
+
+    pl.run_scoped(
+        body,
+        x_win=pltpu.VMEM((window, x_hbm.shape[-1]), jnp.float32),
+        send_buf=pltpu.VMEM((2, 8, block_edges), jnp.int32),
+        w_buf=pltpu.VMEM((2, 8, block_edges), jnp.float32),
+        x_sem=pltpu.SemaphoreType.DMA,
+        meta_sem=pltpu.SemaphoreType.DMA((2, 2)),
+    )
+
+
+def banded_sorted_spmm_pallas(x, senders_sorted, row_ptr, w_sorted,
+                              num_rows: int, *, window: int = 512,
+                              block_rows: int = 128, block_edges: int = 512,
+                              precision=jax.lax.Precision.DEFAULT,
+                              interpret: bool = False) -> jax.Array:
+    """Fused gather+segment-sum SpMM for **banded** sorted layouts.
+
+    ``out[r] = Σ_{e: recv_e == r} w_e · x[send_e]`` with the gather done
+    INSIDE the kernel: each receiver row-block DMAs one ``[window, F]``
+    slice of ``x`` into VMEM and turns the per-edge gather into a one-hot
+    matmul on the MXU (``S_ohᵀ @ x_win``), so the per-edge random-row HBM
+    gather and the ``[E, F]`` message materialization both disappear.
+
+    Band contract: edges sorted by receiver, and for every ``block_rows``
+    receiver block the senders span fewer than ``window − 8`` rows.  Batches
+    of graphs ≤ ``window/2`` nodes satisfy this by construction (nodes are
+    packed per graph, edges are intra-graph); large graphs need a bandwidth-
+    reducing node order (e.g. RCM) first.  Out-of-window senders contribute
+    ZERO silently — use :func:`check_band_contract` in tests/loaders.
+
+    FLOP cost is ``E·(window + block_rows)·F`` MACs — worth it because the
+    MXU is otherwise idle while HBM serves random gathers.
+    """
+    E, = senders_sorted.shape
+    N_x, F = x.shape
+    assert num_rows % block_rows == 0
+    assert block_edges % 128 == 0 and window % 8 == 0
+    nblk = num_rows // block_rows
+
+    # pad x so any clipped window fits
+    N_pad = max(N_x, window)
+    if N_pad != N_x:
+        x = jnp.concatenate([x, jnp.zeros((N_pad - N_x, F), x.dtype)])
+
+    # per-row-block sender window base (trace-time segment-min).  Edge slot e
+    # belongs to row block rb iff row_ptr[rb·BR] ≤ e < row_ptr[(rb+1)·BR]; a
+    # scatter of 1s at the block-start offsets + cumsum yields the block id.
+    starts = row_ptr[: num_rows + 1 : block_rows]  # [nblk+1] edge offsets
+    is_start = jnp.zeros(E + 1, jnp.int32).at[
+        jnp.clip(starts, 0, E)].add(1)[:E]
+    blk_of_edge = jnp.clip(jnp.cumsum(is_start) - 1, 0, nblk - 1)
+    send_key = jnp.where(jnp.arange(E) < row_ptr[num_rows],
+                         senders_sorted.astype(jnp.int32), N_pad)
+    min_send = jnp.full(nblk, N_pad, jnp.int32).at[blk_of_edge].min(send_key)
+    win_base = jnp.clip((min_send // 8) * 8, 0, max(N_pad - window, 0))
+
+    # chunk-major 2-D metadata; rows padded to a multiple of 8 so the
+    # sublane-aligned [8, BE] DMA groups never run off the end
+    n_chunk_rows = (E + block_edges - 1) // block_edges + 1
+    n_chunk_rows = ((n_chunk_rows + 7) // 8) * 8
+    E_pad = n_chunk_rows * block_edges
+    send2d = jnp.concatenate(
+        [senders_sorted.astype(jnp.int32),
+         jnp.zeros(E_pad - E, jnp.int32)]).reshape(-1, block_edges)
+    w2d = jnp.concatenate(
+        [w_sorted.astype(jnp.float32),
+         jnp.zeros(E_pad - E, jnp.float32)]).reshape(-1, block_edges)
+
+    lo = jnp.broadcast_to(row_ptr[:num_rows, None], (num_rows, _CHUNK))
+    hi = jnp.broadcast_to(row_ptr[1 : num_rows + 1, None],
+                          (num_rows, _CHUNK))
+
+    return pl.pallas_call(
+        functools.partial(_banded_kernel, block_rows=block_rows,
+                          block_edges=block_edges, window=window,
+                          precision=precision),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nblk,),
+            in_specs=[
+                pl.BlockSpec((block_rows, _CHUNK), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),  # lo
+                pl.BlockSpec((block_rows, _CHUNK), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),  # hi
+                pl.BlockSpec(memory_space=pl.ANY),      # x [N_pad, F]
+                pl.BlockSpec(memory_space=pl.ANY),      # send2d
+                pl.BlockSpec(memory_space=pl.ANY),      # w2d
+            ],
+            out_specs=pl.BlockSpec(
+                (block_rows, F), lambda i, *_: (i, 0),
+                memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((num_rows, F), x.dtype),
+        interpret=interpret,
+    )(row_ptr, win_base, lo, hi, x, send2d, w2d)
+
+
+def check_band_contract(senders, receivers, edge_mask, num_rows,
+                        block_rows=128, window=512):
+    """Host-side validation of the band contract (run in loaders/tests, not
+    under jit): True iff every receiver row-block's senders span < window−8."""
+    import numpy as np
+
+    s = np.asarray(senders)[np.asarray(edge_mask)]
+    r = np.asarray(receivers)[np.asarray(edge_mask)]
+    for rb in range(0, num_rows, block_rows):
+        sel = (r >= rb) & (r < rb + block_rows)
+        if sel.any():
+            span = s[sel].max() - s[sel].min()
+            if span >= window - 8:
+                return False
+    return True
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _banded_spmm_vjp(x, senders_sorted, receivers_sorted, w_sorted,
+                     num_rows, window, interpret=False):
+    rows_pad = ((num_rows + 127) // 128) * 128
+    counts = jax.ops.segment_sum(
+        jnp.ones(receivers_sorted.shape[0], jnp.int32),
+        jnp.clip(receivers_sorted, 0, rows_pad - 1),
+        num_segments=rows_pad)
+    row_ptr = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts).astype(jnp.int32)])
+    out = banded_sorted_spmm_pallas(
+        x, senders_sorted, row_ptr, w_sorted, rows_pad, window=window,
+        interpret=interpret)
+    return out[:num_rows]
+
+
+def _banded_fwd(x, senders_sorted, receivers_sorted, w_sorted, num_rows,
+                window, interpret=False):
+    out = _banded_spmm_vjp(x, senders_sorted, receivers_sorted, w_sorted,
+                           num_rows, window, interpret)
+    return out, (x, senders_sorted, receivers_sorted, w_sorted)
+
+
+def _banded_bwd(num_rows, window, interpret, res, g):
+    x, s, r, w = res
+    # d_x[j] = Σ_{e: send_e == j} w_e g[recv_e]  (transposed SpMM — XLA
+    # scatter; acceptable because backward runs once per step vs the
+    # forward's many invocations, and the sender axis is unsorted here)
+    safe_r = jnp.clip(r, 0, num_rows - 1)
+    d_msgs = g[safe_r] * w[:, None]
+    d_x = jax.ops.segment_sum(d_msgs, jnp.clip(s, 0, x.shape[0] - 1),
+                              num_segments=x.shape[0])
+    # d_w[e] = <x[send_e], g[recv_e]>
+    d_w = jnp.sum(x[jnp.clip(s, 0, x.shape[0] - 1)] * g[safe_r], axis=-1)
+    return d_x, None, None, d_w
+
+
+_banded_spmm_vjp.defvjp(_banded_fwd, _banded_bwd)
+
+
+def spmm_banded(x, senders_sorted, receivers_sorted, w_sorted, num_rows: int,
+                window: int = 512, interpret: bool = False):
+    """Differentiable fused banded SpMM (forward = Pallas fused kernel,
+    backward = XLA transposed scatter)."""
+    return _banded_spmm_vjp(x, senders_sorted, receivers_sorted, w_sorted,
+                            num_rows, window, interpret)
+
+
 def sort_edges_csr(senders, receivers, edge_weight, edge_mask, num_rows):
     """Host/trace-time helper: sort edges by receiver (padding last) and
     build the CSR ``row_ptr``.  The permutation is static per graph layout —

@@ -209,8 +209,10 @@ def compact_select_output(so: SelectOutput, budget_per_graph: int
 
     ``budget_per_graph`` must be ≥ the max occupied supernodes of any graph
     (e.g. ``ceil(max_nodes/2) + 1`` for matchings-with-singletons worst
-    cases are ``max_nodes``; pick per your method's guarantee).  Overflowing
-    supernodes are masked out — choose the budget accordingly.
+    cases are ``max_nodes``; pick per your method's guarantee).  A too-small
+    budget would silently corrupt results, so overflow trips
+    ``jax.debug.check`` (error under ``jax.enable_checks`` / checkify;
+    prints under plain jit) and the overflowing supernodes are masked out.
     """
     assert so.is_sparse, "compact_select_output needs a sparse SelectOutput"
     from tgp_tpu.ops.segment import segment_topk_rank
@@ -221,6 +223,16 @@ def compact_select_output(so: SelectOutput, budget_per_graph: int
         -jnp.arange(C_old, dtype=jnp.float32), so.cluster_graph,
         so.num_graphs, mask=occupied)
     ok = occupied & (slot < budget_per_graph)
+    overflow = occupied & (slot >= budget_per_graph)
+    jax.lax.cond(
+        jnp.any(overflow),
+        lambda n: jax.debug.print(
+            "ERROR compact_select_output: budget_per_graph="
+            f"{budget_per_graph} overflowed "
+            "({n} supernodes dropped) — results are corrupt, raise the "
+            "budget", n=n),
+        lambda n: None,
+        jnp.sum(overflow))
     new_id = jnp.where(
         ok, so.cluster_graph * budget_per_graph + slot, 0).astype(jnp.int32)
 

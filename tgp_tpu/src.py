@@ -81,6 +81,12 @@ class SRCPooling(nn.Module):
     the cheatsheet (reference: tgp/utils/cheatsheet.py:27-75).
     """
 
+    # lift configuration (reference: BaseLift(matrix_op=lift,
+    # reduce_op=lift_red_op), e.g. tgp/poolers/topk.py) — inherited by every
+    # pooler as flax config fields
+    lift_op: str = "precomputed"
+    lift_red_op: str = "sum"
+
     # capability flags (overridden per pooler)
     IS_DENSE: bool = False
     HAS_LOSS: bool = False
@@ -92,7 +98,8 @@ class SRCPooling(nn.Module):
         return base_reduce(x, so, **kw)
 
     def lift(self, x_pool: jax.Array, so: SelectOutput) -> jax.Array:
-        return base_lift(x_pool, so)
+        return base_lift(x_pool, so, matrix_op=self.lift_op,
+                         reduce_op=self.lift_red_op)
 
     def connect(self, batch: GraphBatch, so: SelectOutput,
                 cfg: ConnectConfig = ConnectConfig()):
