@@ -1,13 +1,22 @@
 """Graph classification example (reference: examples/classification.py).
 
-Trains a GCN → pooler → GCN → readout classifier on the synthetic
-structural-classification dataset (PROTEINS stand-in for the zero-egress
-environment).  Run:  python examples/classification.py [pooler_alias]
+Trains a GCN → pooler → GCN → readout classifier.  Datasets:
+
+    python examples/classification.py topk                       # synthetic
+    python examples/classification.py topk --dataset PROTEINS \
+        --data-dir data/tu                                       # TU format
+    python examples/classification.py topk --dataset gcb \
+        --data-dir data/gcb                                      # GCB npz
+    python examples/classification.py topk --dataset expwl1 \
+        --data-dir data/expwl1                                   # EXPWL1 npz
+
+TU datasets (PROTEINS/NCI1/…) run the moment the raw text files are
+mounted under ``--data-dir`` (BASELINE.md configs 1-2).
 """
 
 from __future__ import annotations
 
-import sys
+import argparse
 import time
 
 import jax
@@ -21,13 +30,42 @@ from tgp_tpu.models.classifiers import PoolingClassifier
 from tgp_tpu.poolers import get_pooler
 
 
+def load_dataset(dataset: str, data_dir: str | None):
+    """Return ``(graphs, labels, num_classes)`` for a named dataset."""
+    if dataset == "synthetic":
+        graphs, labels = SyntheticGraphClassification(
+            num_graphs=360, num_features=8, seed=42).generate()
+        return graphs, labels, 3
+    if dataset == "gcb":
+        from tgp_tpu.datasets import GraphClassificationBench
+
+        tr_g, tr_y = GraphClassificationBench(
+            root=data_dir, split="train").load()
+        te_g, te_y = GraphClassificationBench(
+            root=data_dir, split="test").load()
+        import numpy as _np
+
+        return tr_g + te_g, _np.concatenate([tr_y, te_y]), \
+            int(max(tr_y.max(), te_y.max())) + 1
+    if dataset == "expwl1":
+        from tgp_tpu.datasets import EXPWL1Dataset
+
+        g, y = EXPWL1Dataset(root=data_dir).load()
+        return g, y, int(y.max()) + 1
+    # anything else: a TU dataset name (PROTEINS, NCI1, MUTAG, …)
+    from tgp_tpu.datasets import TUDataset
+
+    ds = TUDataset(root=data_dir or "data/tu", name=dataset)
+    g, y = ds.load()
+    return g, y, ds.num_classes
+
+
 def main(alias: str = "topk", epochs: int = 20, batch_size: int = 32,
          hidden: int = 64, seed: int = 0, verbose: bool = True,
-         checkpoint_dir: str | None = None):
-    graphs, labels = SyntheticGraphClassification(
-        num_graphs=360, num_features=8, seed=42
-    ).generate()
-    n_train = 300
+         checkpoint_dir: str | None = None, dataset: str = "synthetic",
+         data_dir: str | None = None):
+    graphs, labels, num_classes = load_dataset(dataset, data_dir)
+    n_train = int(0.85 * len(graphs)) if dataset != "synthetic" else 300
     train_loader = GraphLoader(graphs[:n_train], labels[:n_train],
                                batch_size=batch_size, shuffle=True, seed=seed)
     test_loader = GraphLoader(graphs[n_train:], labels[n_train:],
@@ -37,7 +75,8 @@ def main(alias: str = "topk", epochs: int = 20, batch_size: int = 32,
                               max_nodes=train_loader.max_nodes)
 
     pooler = get_pooler(alias, in_channels=hidden, ratio=0.5, k=16)
-    model = PoolingClassifier(pooler=pooler, num_classes=3, hidden=hidden)
+    model = PoolingClassifier(pooler=pooler, num_classes=num_classes,
+                              hidden=hidden)
 
     batch0, y0 = next(iter(train_loader))
     params = model.init(jax.random.key(seed), batch0)
@@ -95,5 +134,18 @@ def main(alias: str = "topk", epochs: int = 20, batch_size: int = 32,
 
 
 if __name__ == "__main__":
-    alias = sys.argv[1] if len(sys.argv) > 1 else "topk"
-    main(alias)
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("alias", nargs="?", default="topk")
+    ap.add_argument("--dataset", default="synthetic",
+                    help="synthetic | gcb | expwl1 | any TU name "
+                         "(PROTEINS, NCI1, …)")
+    ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--hidden", type=int, default=64)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--checkpoint-dir", default=None)
+    a = ap.parse_args()
+    main(a.alias, epochs=a.epochs, batch_size=a.batch_size, hidden=a.hidden,
+         seed=a.seed, checkpoint_dir=a.checkpoint_dir, dataset=a.dataset,
+         data_dir=a.data_dir)

@@ -41,7 +41,9 @@ def test_stateless_aggrs(alias, npfn, data):
 
 @pytest.mark.parametrize("alias", ["attentional", "set2set", "lstm", "gru",
                                    "sort", "deep_sets", "mlp",
-                                   "set_transformer"])
+                                   "set_transformer", "equilibrium", "lcm",
+                                   "patch_transformer",
+                                   "graph_multiset_transformer"])
 def test_learnable_aggrs(alias, data):
     x, seg, mask, C = data
     mod = AggrReduce(aggr=alias)
@@ -79,3 +81,55 @@ def test_aggr_reduce_with_select_output(data):
 def test_unknown_alias():
     with pytest.raises(ValueError):
         get_aggr("bogus")
+
+
+def test_equilibrium_gradients_flow(data):
+    """The inner optimization is unrolled, so outer grads must reach both
+    the potential net and the inputs."""
+    x, seg, mask, C = data
+    mod = AggrReduce(aggr="equilibrium")
+    params = mod.init(jax.random.key(0), x, None, node_graph=seg,
+                      num_graphs=C, node_mask=mask)
+
+    def loss(p, x):
+        out = mod.apply(p, x, None, node_graph=seg, num_graphs=C,
+                        node_mask=mask)
+        return jnp.sum(out ** 2)
+
+    gp, gx = jax.grad(loss, argnums=(0, 1))(params, x)
+    leaves = jax.tree_util.tree_leaves(gp)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+    assert float(jnp.abs(gx).max()) > 0
+
+
+def test_lcm_singleton_passthrough(data):
+    """A segment with one element must return its projection unchanged
+    (the monoid identity path), matching PyG's odd-element passthrough."""
+    x, _, _, _ = data
+    n = x.shape[0]
+    seg = jnp.zeros(n, jnp.int32)
+    mask = jnp.zeros(n, bool).at[3].set(True)  # only element 3 valid
+    mod = AggrReduce(aggr="lcm")
+    params = mod.init(jax.random.key(0), x, None, node_graph=seg,
+                      num_graphs=1, node_mask=mask)
+    out = mod.apply(params, x, None, node_graph=seg, num_graphs=1,
+                    node_mask=mask)
+    sub = next(v for k, v in params["params"].items()
+               if "LCM" in k or "proj" in v)
+    kernel, bias = sub["proj"]["kernel"], sub["proj"]["bias"]
+    expect = x[3] @ kernel + bias
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(expect),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_lcm_permutation_invariance_of_shape(data):
+    """Empty segments must come out all-zero for lcm/patch_transformer."""
+    x, seg, mask, C = data
+    for alias in ("lcm", "patch_transformer", "graph_multiset_transformer"):
+        mod = AggrReduce(aggr=alias)
+        empty = jnp.zeros_like(mask)
+        params = mod.init(jax.random.key(0), x, None, node_graph=seg,
+                          num_graphs=C, node_mask=empty)
+        out = mod.apply(params, x, None, node_graph=seg, num_graphs=C,
+                        node_mask=empty)
+        assert np.isfinite(np.asarray(out)).all(), alias

@@ -14,6 +14,8 @@ from tgp_tpu.datasets.downloads import (
     EXPWL1Dataset,
     GraphClassificationBench,
 )
+from tgp_tpu.datasets.pygsp import PYGSP_GRAPHS, PyGSPDataset, pygsp_graph
+from tgp_tpu.datasets.tudataset import TUDataset, parse_tu_dir
 
 __all__ = [
     "CSBMDataset",
@@ -24,4 +26,9 @@ __all__ = [
     "csbm_graph",
     "EXPWL1Dataset",
     "GraphClassificationBench",
+    "PyGSPDataset",
+    "pygsp_graph",
+    "PYGSP_GRAPHS",
+    "TUDataset",
+    "parse_tu_dir",
 ]

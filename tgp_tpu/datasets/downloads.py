@@ -4,7 +4,16 @@ tgp/datasets/graph_classification_bench.py:8-105).
 
 Both require network access; in zero-egress environments they raise with a
 pointer to :class:`~tgp_tpu.datasets.synthetic.SyntheticGraphClassification`
-as the local stand-in, and accept pre-downloaded ``npz`` files.
+as the local stand-in.  When the raw files ARE present (pre-downloaded or a
+committed fixture), the loaders parse the *original raw formats*:
+
+- GraphClassificationBench: ``{easy,hard}[_small].npz`` with keys
+  ``{tr,val,te}_{feat,adj,class}`` (dense adjacency, one-hot class), exactly
+  what the reference's ``process()`` reads
+  (graph_classification_bench.py:88-105).
+- EXPWL1: the upstream raw is a pickle of PyG ``Data`` objects, which cannot
+  be unpickled without torch_geometric; we read the documented npz
+  conversion (object arrays ``x``, ``edge_index``, ``y``) instead.
 """
 
 from __future__ import annotations
@@ -33,7 +42,7 @@ class EXPWL1Dataset:
     root: str = "data/expwl1"
     url: str = ("https://github.com/FilippoMB/"
                 "The-expressive-power-of-pooling-in-GNNs/raw/main/data/"
-                "EXPWL1/raw/EXPWL1.zip")
+                "EXPWL1/raw/EXPWL1.pkl")
 
     def load(self):
         path = Path(self.root) / "expwl1.npz"
@@ -47,16 +56,46 @@ class EXPWL1Dataset:
 
 @dataclass
 class GraphClassificationBench:
-    """easy/hard × small/full benchmark npz (download-backed)."""
+    """easy/hard × small/full benchmark (Bianchi et al. 2022; reference:
+    tgp/datasets/graph_classification_bench.py:8-105).
+
+    Parses the upstream raw npz directly: keys ``{tr,val,te}_feat`` (dense
+    node features per graph), ``{tr,val,te}_adj`` (dense adjacency),
+    ``{tr,val,te}_class`` (one-hot labels) — the same arrays the reference's
+    ``process()`` consumes.  ``split`` selects train/val/test; ``easy`` and
+    ``small`` select the archive name like the reference ctor.
+    """
 
     root: str = "data/gcb"
-    split: str = "easy_small"
+    split: str = "train"
+    easy: bool = True
+    small: bool = True
+
+    @property
+    def file_name(self) -> str:
+        return ("easy" if self.easy else "hard") + \
+            ("_small" if self.small else "")
 
     def load(self):
-        path = Path(self.root) / f"{self.split}.npz"
+        split = self.split.lower()
+        assert split in {"train", "val", "test"}
+        key = "val" if split == "val" else split[:2]
+
+        path = Path(self.root) / f"{self.file_name}.npz"
         if path.exists():
-            return _load_npz_graphs(path)
+            npz = np.load(path, allow_pickle=True)
+            graphs, labels = [], []
+            for x, adj, y in zip(npz[f"{key}_feat"], npz[f"{key}_adj"],
+                                 npz[f"{key}_class"]):
+                adj = np.asarray(adj)
+                if adj.ndim != 2:  # scipy-sparse stored as object
+                    adj = adj.item().toarray()
+                ei = np.stack(np.nonzero(adj)).astype(np.int64)
+                graphs.append((np.asarray(x, np.float32), ei))
+                labels.append(int(np.nonzero(np.asarray(y))[0][0]))
+            return graphs, np.asarray(labels, np.int32)
         raise RuntimeError(
-            f"GraphClassificationBench ({self.split}) requires a download; "
-            f"not available in zero-egress environments. Drop the npz at "
-            f"{path}, or use SyntheticGraphClassification for local runs.")
+            f"GraphClassificationBench ({self.file_name}) requires a "
+            f"download; not available in zero-egress environments. Drop the "
+            f"npz at {path}, or use SyntheticGraphClassification for local "
+            "runs.")

@@ -240,6 +240,145 @@ class SetTransformerAggregation(nn.Module):
         return out.mean(axis=1)
 
 
+class EquilibriumAggregation(nn.Module):
+    """Equilibrium aggregation (Bartunov et al. 2022; PyG
+    ``EquilibriumAggregation``, aliased by the reference at
+    tgp/reduce/get_aggr.py:42): the output ``y`` minimizes an energy
+    ``E(y) = λ‖y‖² + Σ_i softplus(MLP([x_i; y]))`` via ``grad_iter``
+    unrolled gradient-descent steps with a learnable step size.  The inner
+    ``jax.grad`` is taken under ``lax.fori_loop``-free unrolling so the
+    outer backward differentiates *through* the optimization (as PyG's
+    implicit solver does by backprop-through-SGD)."""
+
+    grad_iter: int = 5
+    lamb: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, seg, C, mask):
+        F = x.shape[-1]
+        w1 = nn.Dense(F, name="pot1")
+        w2 = nn.Dense(1, name="pot2")
+        log_lr = self.param("log_lr", nn.initializers.zeros, ())
+
+        def energy(y):
+            # y: [C, F]; per-element potential on [x_i ; y_seg(i)]
+            h = jnp.concatenate([x, y[seg]], axis=-1)
+            pot = jax.nn.softplus(w2(jax.nn.relu(w1(h))))[:, 0]
+            pot = jnp.where(mask, pot, 0.0)
+            return self.lamb * jnp.sum(y * y) + jnp.sum(pot)
+
+        y = jnp.zeros((C, F), x.dtype)
+        lr = jnp.exp(log_lr) * 0.1
+        for _ in range(self.grad_iter):  # unrolled: differentiable solver
+            y = y - lr * jax.grad(energy)(y)
+        return y
+
+
+class LCMAggregation(nn.Module):
+    """Learnable-commutative-monoid aggregation (Ong & Veličković 2022; PyG
+    ``LCMAggregation``, reference alias tgp/reduce/get_aggr.py:47): reduce
+    each segment's element set with a learned binary combine applied along a
+    balanced binary tree (log₂L levels).  Invalid slots carry a validity bit
+    so a (valid, invalid) pair passes the valid operand through unchanged."""
+
+    max_len: int = 32
+
+    @nn.compact
+    def __call__(self, x, seg, C, mask):
+        F = x.shape[-1]
+        L = 1 << max(1, (self.max_len - 1).bit_length())  # power of two
+        proj = nn.Dense(F, name="proj")
+        comb1 = nn.Dense(F, name="comb1")
+        comb2 = nn.Dense(F, name="comb2")
+        norm = nn.LayerNorm(name="norm")
+
+        seqs, lmask = _to_padded_sequences(x, seg, C, mask, L)
+        h = proj(seqs)
+        valid = lmask
+        while h.shape[1] > 1:
+            a, b = h[:, 0::2], h[:, 1::2]
+            va, vb = valid[:, 0::2], valid[:, 1::2]
+            both = (va & vb)[..., None]
+            merged = norm(comb2(jax.nn.relu(comb1(
+                jnp.concatenate([a, b], axis=-1)))))
+            # exactly one valid operand → pass it through; none → zeros
+            h = jnp.where(both, merged,
+                          jnp.where(va[..., None], a,
+                                    jnp.where(vb[..., None], b, 0.0)))
+            valid = va | vb
+        return h[:, 0]
+
+
+class PatchTransformerAggregation(nn.Module):
+    """Patch-transformer aggregation (PyG ``PatchTransformerAggregation``,
+    reference alias tgp/reduce/get_aggr.py:48): per-segment elements are
+    chunked into ``patch_size`` patches, each patch is MLP-embedded, a
+    transformer encoder mixes the patches, and the patch outputs are
+    reduced with mean/max/sum concatenation then projected back to F."""
+
+    patch_size: int = 4
+    num_heads: int = 2
+    max_len: int = 32
+
+    @nn.compact
+    def __call__(self, x, seg, C, mask):
+        F = x.shape[-1]
+        Fh = ((F + self.num_heads - 1) // self.num_heads) * self.num_heads
+        L = ((self.max_len + self.patch_size - 1)
+             // self.patch_size) * self.patch_size
+        P = L // self.patch_size
+        seqs, lmask = _to_padded_sequences(x, seg, C, mask, L)
+        patches = seqs.reshape(C, P, self.patch_size * F)
+        pmask = lmask.reshape(C, P, self.patch_size).any(-1)
+        h = nn.Dense(Fh, name="patch_mlp")(patches)
+        h = h + self.param("pos", nn.initializers.normal(0.02), (P, Fh))
+        att = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=Fh)(
+                h, h, mask=pmask[:, None, None, :] & pmask[:, None, :, None])
+        h = nn.LayerNorm()(h + att)
+        h = h * pmask[..., None]
+        n = jnp.clip(pmask.sum(-1, keepdims=True), 1, None)
+        mean = h.sum(1) / n
+        mx = jnp.where(pmask[..., None], h, -jnp.inf).max(1)
+        mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+        out = jnp.concatenate([mean, mx, h.sum(1)], axis=-1)
+        return nn.Dense(F, name="out")(out)
+
+
+class GraphMultisetTransformer(nn.Module):
+    """Graph multiset transformer readout (Baek et al. 2021; PyG
+    ``GraphMultisetTransformer``, reference alias
+    tgp/reduce/get_aggr.py:49): PMA with ``k`` seeds → SAB over the k
+    tokens → PMA to a single token."""
+
+    k: int = 4
+    num_heads: int = 2
+    max_len: int = 32
+
+    @nn.compact
+    def __call__(self, x, seg, C, mask):
+        F = x.shape[-1]
+        Fh = ((F + self.num_heads - 1) // self.num_heads) * self.num_heads
+        x = nn.Dense(Fh)(x)
+        seqs, lmask = _to_padded_sequences(x, seg, C, mask, self.max_len)
+        amask = lmask[:, None, None, :]
+        seeds = self.param("seeds", nn.initializers.normal(0.02),
+                           (self.k, Fh))
+        q = jnp.broadcast_to(seeds[None], (C, self.k, Fh))
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=Fh)(
+                q, seqs, mask=jnp.broadcast_to(
+                    amask, (C, 1, self.k, seqs.shape[1])))
+        sab = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=Fh)(h, h)
+        h = nn.LayerNorm()(h + sab)
+        seed1 = self.param("seed_out", nn.initializers.normal(0.02), (1, Fh))
+        out = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=Fh)(
+                jnp.broadcast_to(seed1[None], (C, 1, Fh)), h)
+        return out[:, 0]
+
+
 class SortAggregation(nn.Module):
     """Sort pooling (Zhang et al. 2018): top-k rows by last feature,
     concatenated; output dim ``k·F``."""
@@ -293,6 +432,10 @@ _LEARNABLE = {
     "deep_sets": DeepSetsAggregation,
     "mlp": MLPAggregation,
     "set_transformer": SetTransformerAggregation,
+    "equilibrium": EquilibriumAggregation,
+    "lcm": LCMAggregation,
+    "patch_transformer": PatchTransformerAggregation,
+    "graph_multiset_transformer": GraphMultisetTransformer,
 }
 
 
