@@ -105,3 +105,62 @@ def test_eigen_loader_reduce():
                             2 * batch.num_features)
         assert np.isfinite(np.asarray(xp)).all()
         break
+
+
+@pytest.mark.parametrize("alias,kw", [
+    ("graclus", {}),
+    ("ndp", {}),
+    ("nmf", {"k": 4}),
+    ("eigen", {"k": 3, "num_modes": 2}),
+])
+def test_collate_separate_roundtrip(alias, kw):
+    """collate_level ∘ separate_level == identity on per-graph level dicts
+    (the reference's collate/separate round-trip property,
+    tgp/data/collate.py:81-403)."""
+    from tgp_tpu.data.pooled_loader import collate_level, separate_level
+
+    graphs = _graphs(4, seed=3)
+    per_graph = [precoarsen_graph(alias, ei, x.shape[0], levels=1, **kw)[0]
+                 for x, ei in graphs]
+    n_per = [x.shape[0] for x, _ in graphs]
+    off = np.concatenate([[0], np.cumsum(n_per)[:-1]])
+    pad_prev = int(sum(n_per) + 8)
+    pad_c = int(sum(l["num_clusters"] for l in per_graph) + 8)
+    pad_e = int(sum(np.asarray(l["edge_index"]).shape[1]
+                    for l in per_graph) + 16)
+    kmax = max(l["num_clusters"] for l in per_graph)
+
+    lb = collate_level(per_graph, off, pad_prev, pad_c, pad_e, kmax,
+                       feature_dim=5)
+    back = separate_level(lb, off, n_per)
+
+    assert len(back) == len(per_graph)
+    for orig, rec in zip(per_graph, back):
+        assert rec["kind"] == orig["kind"]
+        assert rec["num_clusters"] == int(orig["num_clusters"])
+        # edge lists equal as multisets of weighted edges
+        eo = np.asarray(orig["edge_index"])
+        er = np.asarray(rec["edge_index"])
+        wo = np.asarray(orig["edge_weight"])
+        wr = np.asarray(rec["edge_weight"])
+        assert er.shape == eo.shape
+        po = np.lexsort(eo[::-1]); pr = np.lexsort(er[::-1])
+        np.testing.assert_array_equal(er[:, pr], eo[:, po])
+        np.testing.assert_allclose(wr[pr], wo[po], rtol=1e-6)
+        if orig["kind"] == "sparse":
+            ci_o = np.asarray(orig["cluster_index"])
+            ci_r = np.asarray(rec["cluster_index"])[: ci_o.shape[0]]
+            np.testing.assert_array_equal(ci_r, ci_o)
+            np.testing.assert_allclose(
+                np.asarray(rec["weight"])[: ci_o.shape[0]],
+                np.asarray(orig["weight"]), rtol=1e-6)
+        elif orig["kind"] == "eigen":
+            assert rec["num_modes"] == int(orig["num_modes"])
+            th_o = np.asarray(orig["theta"], np.float32)
+            np.testing.assert_allclose(
+                np.asarray(rec["theta"])[:, : th_o.shape[1]], th_o,
+                rtol=1e-6)
+        else:
+            s_o = np.asarray(orig["s"], np.float32)
+            np.testing.assert_allclose(
+                np.asarray(rec["s"])[:, : s_o.shape[1]], s_o, rtol=1e-6)

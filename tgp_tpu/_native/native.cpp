@@ -198,8 +198,14 @@ void sep_merge_tree(int64_t n, int64_t e, const int64_t* src,
   };
 
   // lazy max-heap of candidate merges
+  // tie-break like the Python heap's (-d, a, b) tuples so both paths
+  // produce the same tree on unweighted graphs (heavy delta ties)
   struct Cand { double d; int64_t a, b; };
-  auto cmp = [](const Cand& x, const Cand& y) { return x.d < y.d; };
+  auto cmp = [](const Cand& x, const Cand& y) {
+    if (x.d != y.d) return x.d < y.d;
+    if (x.a != y.a) return x.a > y.a;
+    return x.b > y.b;
+  };
   std::vector<Cand> heap;
   for (auto& [a, row] : cross)
     for (auto& [b, ww] : row)

@@ -19,7 +19,8 @@ import numpy as np
 from tgp_tpu.graph import GraphBatch
 from tgp_tpu.select.base import SelectOutput
 
-__all__ = ["collate_level", "PooledGraphLoader", "LevelBatch"]
+__all__ = ["collate_level", "separate_level", "PooledGraphLoader",
+           "LevelBatch"]
 
 
 from flax import struct
@@ -177,6 +178,57 @@ def collate_level(levels: Sequence[dict], prev_node_offsets: np.ndarray,
         raise ValueError(f"unknown level kind {kind!r}")
 
     return LevelBatch(so=so, graph=pooled_graph)
+
+
+def separate_level(lb: LevelBatch, prev_node_offsets: np.ndarray,
+                   n_per_prev: Sequence[int]) -> List[dict]:
+    """Inverse of :func:`collate_level`: split a collated ``LevelBatch``
+    back into per-graph level dicts (the reference's ``separate`` hook,
+    tgp/data/collate.py:336-403).  ``prev_node_offsets`` / ``n_per_prev``
+    locate each graph's rows in the previous level's packed node space."""
+    so, g = lb.so, lb.graph
+    B = g.num_graphs
+    cluster_graph = np.asarray(g.node_graph)
+    out_mask = np.asarray(g.node_mask)
+    k_per = [int((out_mask & (cluster_graph == i)).sum()) for i in range(B)]
+    c_off = np.concatenate([[0], np.cumsum(k_per)[:-1]]).astype(np.int64)
+
+    senders = np.asarray(g.senders)
+    receivers = np.asarray(g.receivers)
+    ew = np.asarray(g.edge_weight)
+    em = np.asarray(g.edge_mask)
+    e_graph = cluster_graph[senders]
+
+    out: List[dict] = []
+    is_sparse = so.cluster_index is not None
+    for i in range(B):
+        o, n = int(prev_node_offsets[i]), int(n_per_prev[i])
+        esel = em & (e_graph == i)
+        ei_local = np.stack([senders[esel] - c_off[i],
+                             receivers[esel] - c_off[i]]).astype(np.int64)
+        level = {
+            "num_clusters": k_per[i],
+            "edge_index": ei_local,
+            "edge_weight": ew[esel].astype(np.float32),
+        }
+        if is_sparse:
+            ci = np.asarray(so.cluster_index)[o:o + n]
+            sel = np.asarray(so.node_sel_mask)[o:o + n]
+            level["kind"] = "sparse"
+            level["cluster_index"] = np.where(sel, ci - c_off[i], -1)
+            level["weight"] = np.asarray(so.weight)[o:o + n]
+            level["partial"] = bool(so.partial)
+        else:
+            s = np.asarray(so.s)[o:o + n]
+            if "num_modes" in so.extras:
+                level["kind"] = "eigen"
+                level["num_modes"] = int(so.extras["num_modes"])
+                level["theta"] = s
+            else:
+                level["kind"] = "dense"
+                level["s"] = s[:, : k_per[i]]
+        out.append(level)
+    return out
 
 
 class PooledGraphLoader:

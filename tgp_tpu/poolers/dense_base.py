@@ -75,7 +75,7 @@ class DenseClusterPooling(DenseSRCPooling):
             return self.lift(x if x is not None else batch.x, so)
 
         if self.batched:
-            dense = self.ensure_dense(batch)
+            dense = self.ensure_dense(batch, self.adj_transpose)
             if so is None:
                 so = self.selector(dense, deterministic)
             x_pool = reduce_dense_batched(dense.x, so.s)

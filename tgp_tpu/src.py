@@ -141,13 +141,19 @@ class DenseSRCPooling(SRCPooling):
     IS_DENSE: bool = True
 
     @staticmethod
-    def ensure_dense(batch) -> DenseGraphBatch:
+    def ensure_dense(batch, adj_transpose: bool = False) -> DenseGraphBatch:
         """Accept a sparse :class:`GraphBatch` or pre-densified
         :class:`DenseGraphBatch` (reference ``_ensure_batched_inputs``,
-        tgp/src.py:454-491)."""
+        tgp/src.py:454-491).  ``adj_transpose`` pre-transposes the densified
+        adjacency (reference tgp/src.py:442-443) so the pooled output lands
+        in the transposed convention dense MP layers expect; a pre-densified
+        input is taken as already being in the caller's convention."""
         if isinstance(batch, DenseGraphBatch):
             return batch
-        return to_dense(batch)
+        dense = to_dense(batch)
+        if adj_transpose:
+            dense = dense.replace(adj=jnp.swapaxes(dense.adj, -1, -2))
+        return dense
 
     @staticmethod
     def finalize_sparse_output(dense: DenseGraphBatch) -> GraphBatch:
