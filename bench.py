@@ -91,13 +91,15 @@ def bench_jax(graphs, labels):
 
 
 def _timed_scan(one_step, carry):
-    """Device-honest per-step time: the whole training loop runs inside ONE
-    jitted ``lax.scan`` dispatch (per-call tunnel latency and async-dispatch
-    pipelining cannot distort it), and the per-step time is the *difference*
-    between a long and a short scan, which also cancels the constant
-    dispatch/transfer cost.  (Round-1's python-loop timing pipelined async
-    dispatches and could under-report device time — this explains the 623 vs
-    715 M edges/s discrepancy between BENCH_r01 and RESULTS.md.)"""
+    """Device-honest per-step time from ONE compiled program (remote
+    compiles through the axon tunnel can take minutes apiece, so the dual-
+    length variant is too slow for the driver's window): the training loop
+    runs inside a single jitted ``lax.scan``; we time 1 blocking call vs 4
+    asynchronously queued calls and take the difference, which cancels the
+    constant dispatch/transfer cost while the queued scans execute back-to-
+    back on device.  (Round-1's python-loop timing pipelined async
+    dispatches and could under-report device time — this explains the 623
+    vs 715 M edges/s discrepancy between BENCH_r01 and RESULTS.md.)"""
     import functools
 
     import jax
@@ -106,20 +108,18 @@ def _timed_scan(one_step, carry):
         (p, o), losses = jax.lax.scan(one_step, (p, o), None, length=n)
         return p, o, losses[-1]
 
-    short, long_ = STEPS, 3 * STEPS
-    run_s = jax.jit(functools.partial(run, short))
-    run_l = jax.jit(functools.partial(run, long_))
+    run_s = jax.jit(functools.partial(run, STEPS))
     p, o = carry
-    # compile both
-    jax.block_until_ready(run_s(p, o)[-1])
-    jax.block_until_ready(run_l(p, o)[-1])
+    jax.block_until_ready(run_s(p, o)[-1])  # compile + warm
     t0 = time.perf_counter()
     jax.block_until_ready(run_s(p, o)[-1])
-    t_short = time.perf_counter() - t0
+    t_one = time.perf_counter() - t0
+    reps = 4
     t0 = time.perf_counter()
-    jax.block_until_ready(run_l(p, o)[-1])
-    t_long = time.perf_counter() - t0
-    return max(t_long - t_short, 1e-9) / (long_ - short)
+    outs = [run_s(p, o)[-1] for _ in range(reps)]  # queued, not blocked
+    jax.block_until_ready(outs)
+    t_many = time.perf_counter() - t0
+    return max(t_many - t_one, 1e-9) / ((reps - 1) * STEPS)
 
 
 def bench_jax_sparse(graphs, labels):

@@ -21,15 +21,17 @@ from tgp_tpu.reduce.global_reduce import global_reduce
 
 class PANNet(nn.Module):
     num_classes: int = 3
-    hidden: int = 32
+    hidden: int = 64  # reference example width (classification_pan.py:42)
 
     @nn.compact
     def __call__(self, batch):
-        h, met_deg, met_w = PANConv(self.hidden, filter_size=3)(batch)
+        h, met_deg, met_w, met_dense = PANConv(
+            self.hidden, filter_size=3, return_dense_met=True)(batch)
         h = nn.relu(h)
         met_batch = batch.replace(x=h, edge_weight=met_w)
         pooler = get_pooler("pan", in_channels=self.hidden, ratio=0.25)
-        out = pooler(met_batch, met_degree=met_deg)
+        # exact full-MET connect (reference SpSpMM semantics)
+        out = pooler(met_batch, met_degree=met_deg, met_dense=met_dense)
         g = out.graph
         h = nn.relu(GCNConv(self.hidden)(g, g.x))
         z = global_reduce(h, node_graph=g.node_graph, num_graphs=g.num_graphs,

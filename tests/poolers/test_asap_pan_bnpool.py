@@ -101,16 +101,30 @@ def test_bnpool_grad(batch):
     assert any(bool(jnp.any(l != 0)) for l in leaves)
 
 
+def _met_oracle(batch, w, normalize, L=3):
+    """NumPy oracle: M = Σ_{l=0}^{L} w_l A^l (+ optional D^-1/2 M D^-1/2)."""
+    d = to_dense(batch)
+    A = np.asarray(d.adj)
+    mask = np.asarray(d.mask)
+    M = np.asarray(w[0]) * np.eye(A.shape[-1])[None] * mask[:, :, None]
+    cur = None
+    for l in range(1, L + 1):
+        cur = A if cur is None else np.einsum("bij,bjk->bik", cur, A)
+        M = M + np.asarray(w[l]) * cur
+    if normalize:
+        deg = M.sum(-1)
+        dinv = np.where(deg > 0, 1.0 / np.sqrt(np.clip(deg, 1e-12, None)),
+                        0.0) * mask
+        M = dinv[:, :, None] * M * dinv[:, None, :]
+    return M
+
+
 def test_panconv_exact_met_support(batch):
-    conv = PANConv(out_channels=8, filter_size=3, exact_met_support=True)
+    conv = PANConv(out_channels=8, filter_size=3, exact_met_support=True,
+                   normalize=False)
     params = conv.init(jax.random.key(0), batch)
     x_out, met_deg, met_w = conv.apply(params, batch)
-    # oracle: dense powers per graph
-    from tgp_tpu.graph import to_dense
-    d = to_dense(batch)
-    w = params["params"]["hop_weight"]
-    A = np.asarray(d.adj)
-    M = w[1] * A + w[2] * np.einsum("bij,bjk->bik", A, A)
+    M = _met_oracle(batch, params["params"]["hop_weight"], normalize=False)
     eg = np.asarray(batch.edge_graph)
     sp = np.asarray(batch.node_pos)[np.asarray(batch.senders)]
     rp = np.asarray(batch.node_pos)[np.asarray(batch.receivers)]
@@ -119,3 +133,118 @@ def test_panconv_exact_met_support(batch):
     for e in np.nonzero(em)[0]:
         np.testing.assert_allclose(got[e], M[eg[e], sp[e], rp[e]], rtol=1e-4,
                                    atol=1e-5)
+
+
+def test_panconv_normalized_met(batch):
+    """normalize=True (PyG PANConv semantics): met_degree == column sums of
+    D^-1/2 M D^-1/2, met_edge_weight == the normalized entries."""
+    conv = PANConv(out_channels=8, filter_size=3, normalize=True,
+                   exact_met_support=True)
+    params = conv.init(jax.random.key(0), batch)
+    x_out, met_deg, met_w = conv.apply(params, batch)
+    Mn = _met_oracle(batch, params["params"]["hop_weight"], normalize=True)
+    ng = np.asarray(batch.node_graph)
+    npos = np.asarray(batch.node_pos)
+    nm = np.asarray(batch.node_mask)
+    col = Mn.sum(-2)
+    np.testing.assert_allclose(np.asarray(met_deg)[nm], col[ng[nm], npos[nm]],
+                               rtol=1e-4, atol=1e-5)
+    eg = np.asarray(batch.edge_graph)
+    em = np.asarray(batch.edge_mask)
+    got = np.asarray(met_w)
+    sp, rp = npos[np.asarray(batch.senders)], npos[np.asarray(batch.receivers)]
+    for e in np.nonzero(em)[0]:
+        np.testing.assert_allclose(got[e], Mn[eg[e], sp[e], rp[e]],
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_pan_exact_dense_met_connect(batch):
+    """The met_dense path pools the FULL MET matrix: pooled adjacency ==
+    M[keep][:, keep] computed by a NumPy oracle (reference SpSpMM
+    semantics, tgp/poolers/pan.py:190-204)."""
+    from tgp_tpu.graph import to_dense
+    from tgp_tpu.poolers import get_pooler
+
+    conv = PANConv(out_channels=8, filter_size=3, return_dense_met=True)
+    cp = conv.init(jax.random.key(0), batch)
+    h, met_deg, met_w, met_dense = conv.apply(cp, batch)
+
+    met_batch = batch.replace(x=h, edge_weight=met_w)
+    pooler = get_pooler("pan", in_channels=8, ratio=0.5)
+    pp = pooler.init(jax.random.key(1), met_batch, met_degree=met_deg,
+                     met_dense=met_dense)
+    out = pooler.apply(pp, met_batch, met_degree=met_deg,
+                       met_dense=met_dense)
+
+    # oracle: dense normalized M (incl. hop-0), subgraph on selected nodes
+    M = _met_oracle(batch, cp["params"]["hop_weight"], normalize=True)
+    so = out.so
+    K = so.max_clusters
+    sel = np.asarray(so.node_sel_mask)
+    ng = np.asarray(so.node_graph)
+    npos = np.asarray(batch.node_pos)
+    slot = np.asarray(so.cluster_index) - ng * K
+
+    g = out.graph
+    adj_got = np.zeros((batch.num_graphs, K, K))
+    sa, ra = np.asarray(g.senders), np.asarray(g.receivers)
+    wa, ma = np.asarray(g.edge_weight), np.asarray(g.edge_mask)
+    for e in np.nonzero(ma)[0]:
+        b = sa[e] // K
+        adj_got[b, sa[e] % K, ra[e] % K] += wa[e]
+
+    adj_want = np.zeros_like(adj_got)
+    for b in range(batch.num_graphs):
+        idx = np.nonzero(sel & (ng == b))[0]
+        for i in idx:
+            for j in idx:
+                adj_want[b, slot[i], slot[j]] = M[b, npos[i], npos[j]]
+    np.testing.assert_allclose(adj_got, adj_want, rtol=1e-4, atol=1e-5)
+
+    # met_degree from dense equals the iterated-SpMM degree plus hop-0
+    deg_dense = M.sum(-2)
+    got_deg = np.asarray(met_deg)
+    nm = np.asarray(batch.node_mask)
+    bg = np.asarray(batch.node_graph)
+    np.testing.assert_allclose(got_deg[nm], deg_dense[bg[nm], npos[nm]],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pan_restricted_vs_exact_support(batch):
+    """Quantify the A∪I-support deviation: on the 1-hop support both paths
+    agree exactly; the exact path additionally carries the ≥2-hop mass the
+    restricted path drops (VERDICT weak #5)."""
+    from tgp_tpu.graph import to_dense
+    from tgp_tpu.poolers import get_pooler
+
+    conv = PANConv(out_channels=8, filter_size=3, return_dense_met=True)
+    cp = conv.init(jax.random.key(0), batch)
+    h, met_deg, met_w, met_dense = conv.apply(cp, batch)
+    met_batch = batch.replace(x=h, edge_weight=met_w)
+
+    pooler = get_pooler("pan", in_channels=8, ratio=0.5)
+    pp = pooler.init(jax.random.key(1), met_batch, met_degree=met_deg)
+    out_r = pooler.apply(pp, met_batch, met_degree=met_deg)
+    out_e = pooler.apply(pp, met_batch, met_degree=met_deg,
+                         met_dense=met_dense)
+    # same selection either way (identical scores)
+    np.testing.assert_array_equal(np.asarray(out_r.so.node_sel_mask),
+                                  np.asarray(out_e.so.node_sel_mask))
+
+    def to_mat(g, K, B):
+        m = np.zeros((B, K, K))
+        s, r = np.asarray(g.senders), np.asarray(g.receivers)
+        w, em = np.asarray(g.edge_weight), np.asarray(g.edge_mask)
+        for e in np.nonzero(em)[0]:
+            m[s[e] // K, s[e] % K, r[e] % K] += w[e]
+        return m
+
+    K = out_r.so.max_clusters
+    mr = to_mat(out_r.graph, K, batch.num_graphs)
+    me = to_mat(out_e.graph, K, batch.num_graphs)
+    support = mr != 0
+    # exact values agree wherever the restricted path kept an entry
+    np.testing.assert_allclose(mr[support], me[support], rtol=1e-4,
+                               atol=1e-5)
+    # and the exact path carries strictly more mass (the dropped tail)
+    assert np.abs(me[~support]).sum() > 0

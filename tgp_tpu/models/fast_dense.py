@@ -117,6 +117,8 @@ class DenseTopkClassifier(nn.Module):
     #: adjacency is a gathered subgraph and gets renormalized by the post
     #: layers either way
     pre_normalized: bool = False
+    #: renormalize the pooled adjacency in the post layers (ablation knob)
+    post_normalize: bool = True
 
     @nn.compact
     def __call__(self, dense: DenseGraphBatch) -> Tuple[jax.Array, DenseGraphBatch]:
@@ -138,7 +140,8 @@ class DenseTopkClassifier(nn.Module):
 
         h = pooled.x
         for _ in range(self.num_post_layers):
-            h = nn.relu(GCNConv(self.hidden)(pooled, h))
+            h = nn.relu(GCNConv(self.hidden,
+                                normalize=self.post_normalize)(pooled, h))
         z = global_reduce(h, mask=pooled.mask, op=self.readout)
         z = nn.relu(nn.Dense(self.hidden)(z))
         logits = nn.Dense(self.num_classes)(z)
