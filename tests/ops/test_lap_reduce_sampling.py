@@ -1,0 +1,220 @@
+"""Coverage for the Laplacian helpers, readout variants, sampling variants,
+and host fallbacks (reference: tgp/utils/ops.py:1061-1149 delta-GCN,
+tgp/utils/ops.py:636-859 negative sampling, tgp/reduce/global_reduce.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.utils_graphs import erdos_renyi_graph, make_batch
+from tgp_tpu.ops.lap import (
+    delta_gcn_matrix,
+    laplacian,
+    power_iteration_max_eigvec,
+)
+from tgp_tpu.ops.sampling import (
+    bipartite_negative_edge_sampling,
+    negative_edge_sampling,
+)
+from tgp_tpu.reduce.global_reduce import global_reduce
+
+
+@pytest.fixture(scope="module")
+def batch():
+    return make_batch([10, 8], num_features=4, seed=3, weighted=True)
+
+
+def _coo_to_dense(s, r, w, m, N):
+    out = np.zeros((N, N))
+    s, r, w, m = map(np.asarray, (s, r, w, m))
+    for e in np.nonzero(m)[0]:
+        out[s[e], r[e]] += w[e]
+    return out
+
+
+def _dense_adj(batch):
+    N = batch.num_nodes
+    return _coo_to_dense(batch.senders, batch.receivers, batch.edge_weight,
+                         batch.edge_mask, N)
+
+
+def test_laplacian_unnormalized(batch):
+    N = batch.num_nodes
+    s, r, lw, m = laplacian(batch.senders, batch.receivers,
+                            batch.edge_weight, batch.edge_mask,
+                            batch.node_mask, N)
+    L = _coo_to_dense(s, r, lw, m, N)
+    A = _dense_adj(batch)
+    D = np.diag(A.sum(1))
+    nm = np.asarray(batch.node_mask)
+    np.testing.assert_allclose(L[nm][:, nm], (D - A)[nm][:, nm], rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_laplacian_sym(batch):
+    N = batch.num_nodes
+    s, r, lw, m = laplacian(batch.senders, batch.receivers,
+                            batch.edge_weight, batch.edge_mask,
+                            batch.node_mask, N, normalization="sym")
+    L = _coo_to_dense(s, r, lw, m, N)
+    A = _dense_adj(batch)
+    d = A.sum(1)
+    dinv = np.where(d > 0, 1.0 / np.sqrt(np.maximum(d, 1e-12)), 0.0)
+    Lo = np.diag((d > 0).astype(float)) - dinv[:, None] * A * dinv[None, :]
+    nm = np.asarray(batch.node_mask)
+    np.testing.assert_allclose(L[nm][:, nm], Lo[nm][:, nm], rtol=1e-5,
+                               atol=1e-6)
+
+
+@pytest.mark.parametrize("delta", [0.5, 2.0])
+def test_delta_gcn_matrix(batch, delta):
+    N = batch.num_nodes
+    s, r, pw, m = delta_gcn_matrix(batch.senders, batch.receivers,
+                                   batch.edge_weight, batch.edge_mask,
+                                   batch.node_mask, N, delta=delta)
+    Pm = _coo_to_dense(s, r, pw, m, N)
+    A = _dense_adj(batch)
+    d = A.sum(1)
+    dinv = np.where(d > 0, 1.0 / np.sqrt(np.maximum(d, 1e-12)), 0.0)
+    nm = np.asarray(batch.node_mask)
+    Po = (1 - delta) * np.eye(N) + delta * dinv[:, None] * A * dinv[None, :]
+    np.testing.assert_allclose(Pm[nm][:, nm], Po[nm][:, nm], rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_delta_gcn_isolated_node_diag_one():
+    """Isolated nodes get P diagonal 1 (L_sym diagonal 0)."""
+    from tgp_tpu.graph import from_graphs
+
+    x = np.random.default_rng(0).normal(size=(4, 3)).astype(np.float32)
+    ei = np.array([[0, 1], [1, 0]])  # nodes 2, 3 isolated
+    b = from_graphs([(x, ei)])
+    s, r, pw, m = delta_gcn_matrix(b.senders, b.receivers, b.edge_weight,
+                                   b.edge_mask, b.node_mask, b.num_nodes,
+                                   delta=2.0)
+    P = _coo_to_dense(s, r, pw, m, b.num_nodes)
+    np.testing.assert_allclose(P[2, 2], 1.0)
+    np.testing.assert_allclose(P[3, 3], 1.0)
+
+
+def test_power_iteration_matches_numpy():
+    x, ei = erdos_renyi_graph(12, p=0.4, seed=1)
+    from tgp_tpu.graph import from_graphs
+
+    b = from_graphs([(x, ei)])
+    v = np.asarray(power_iteration_max_eigvec(
+        b.senders, b.receivers, b.edge_weight, b.num_nodes, num_iters=300))
+    A = _dense_adj(b)[:12, :12]
+    evals, evecs = np.linalg.eigh(A)
+    lead = evecs[:, np.argmax(np.abs(evals))]
+    got = v[:12] / np.linalg.norm(v[:12])
+    cos = abs(float(got @ lead))
+    assert cos > 0.99
+
+
+# ------------------------------------------------------------ global_reduce
+def test_global_reduce_dense_ops():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 5, 3)).astype(np.float32))
+    mask = jnp.asarray([[1, 1, 1, 0, 0], [1, 1, 1, 1, 1]], bool)
+    xn = np.asarray(x)
+    for op, ref in [("sum", lambda v: v.sum(0)),
+                    ("mean", lambda v: v.mean(0)),
+                    ("max", lambda v: v.max(0))]:
+        out = np.asarray(global_reduce(x, mask=mask, op=op))
+        for b in range(2):
+            sel = np.asarray(mask[b])
+            np.testing.assert_allclose(out[b], ref(xn[b][sel]), rtol=1e-5,
+                                       err_msg=op)
+    with pytest.raises(ValueError):
+        global_reduce(x, mask=mask, op="median")
+
+
+def test_global_reduce_sparse_ops(batch):
+    xn = np.asarray(batch.x)
+    ng = np.asarray(batch.node_graph)
+    nm = np.asarray(batch.node_mask)
+    for op, ref in [("sum", lambda v: v.sum(0)),
+                    ("mean", lambda v: v.mean(0)),
+                    ("max", lambda v: v.max(0))]:
+        out = np.asarray(global_reduce(
+            batch.x, node_graph=batch.node_graph, num_graphs=2,
+            node_mask=batch.node_mask, op=op))
+        for g in range(2):
+            sel = nm & (ng == g)
+            np.testing.assert_allclose(out[g], ref(xn[sel]), rtol=1e-4,
+                                       atol=1e-5, err_msg=op)
+    with pytest.raises(ValueError):
+        global_reduce(batch.x, node_graph=batch.node_graph, num_graphs=2,
+                      op="min")
+
+
+# ----------------------------------------------------------------- sampling
+def test_negative_sampling_force_undirected(batch):
+    s, r, m = negative_edge_sampling(jax.random.key(0), batch,
+                                     force_undirected=True)
+    sn, rn, mn = map(np.asarray, (s, r, m))
+    # no sampled pair may exist as an edge in EITHER direction
+    real = set()
+    bs, br = np.asarray(batch.senders), np.asarray(batch.receivers)
+    for e in np.nonzero(np.asarray(batch.edge_mask))[0]:
+        real.add((bs[e], br[e]))
+    for e in np.nonzero(mn)[0]:
+        assert (sn[e], rn[e]) not in real
+        assert (rn[e], sn[e]) not in real
+        assert sn[e] != rn[e]
+
+
+def test_negative_sampling_more_rounds_fewer_failures(batch):
+    _, _, m1 = negative_edge_sampling(jax.random.key(1), batch, num_rounds=1)
+    _, _, m5 = negative_edge_sampling(jax.random.key(1), batch, num_rounds=5)
+    assert int(m5.sum()) >= int(m1.sum())
+
+
+def test_bipartite_negative_sampling():
+    rng = np.random.default_rng(0)
+    E, NS, ND = 64, 10, 12
+    s = jnp.asarray(rng.integers(0, NS, E).astype(np.int32))
+    r = jnp.asarray(rng.integers(0, ND, E).astype(np.int32))
+    em = jnp.ones(E, bool)
+    ns, nr, nm = bipartite_negative_edge_sampling(
+        jax.random.key(0), s, r, em, NS, ND, num_samples=32)
+    assert ns.shape == (32,)
+    real = {(int(a), int(b)) for a, b in zip(np.asarray(s), np.asarray(r))}
+    for e in np.nonzero(np.asarray(nm))[0]:
+        assert (int(ns[e]), int(nr[e])) not in real
+    assert int(np.asarray(ns).max()) < NS
+    assert int(np.asarray(nr).max()) < ND
+
+
+# ------------------------------------------------- host fallbacks / typing
+def test_graclus_numpy_fallback_matches_native():
+    from tgp_tpu.precoarsen.graclus import graclus_matching_numpy
+
+    x, ei = erdos_renyi_graph(20, p=0.3, seed=2)
+    w = np.random.default_rng(0).uniform(0.5, 2.0, ei.shape[1])
+    w = w.astype(np.float32)
+    cl = graclus_matching_numpy(ei, 20, w, seed=1)
+    assert cl.shape == (20,)
+    # consecutive cluster ids, each of size <= 2 (it is a matching)
+    ids, counts = np.unique(cl, return_counts=True)
+    np.testing.assert_array_equal(ids, np.arange(len(ids)))
+    assert counts.max() <= 2
+    # every 2-cluster is an actual edge
+    edges = {(int(a), int(b)) for a, b in ei.T}
+    for c in ids[counts == 2]:
+        u, v = np.nonzero(cl == c)[0]
+        assert (u, v) in edges or (v, u) in edges
+
+
+def test_typing_aliases_importable():
+    from tgp_tpu.utils.typing import (
+        ConnectionType,
+        LiftType,
+        ReduceType,
+        SinvType,
+    )
+
+    for t in (SinvType, LiftType, ConnectionType, ReduceType):
+        assert t is not None

@@ -119,13 +119,24 @@ class DenseTopkClassifier(nn.Module):
     pre_normalized: bool = False
     #: renormalize the pooled adjacency in the post layers (ablation knob)
     post_normalize: bool = True
+    #: matmul compute dtype for the conv/dense stack (params stay f32);
+    #: jnp.bfloat16 doubles MXU rate and halves feature HBM traffic
+    compute_dtype: object = None
+    #: skip per-layer padding masks (safe here: padding scores are masked at
+    #: selection, padding rows are never gathered, and the readout is
+    #: masked — saves 2 full [B,N,F] HBM passes per layer)
+    fast_masks: bool = True
 
     @nn.compact
     def __call__(self, dense: DenseGraphBatch) -> Tuple[jax.Array, DenseGraphBatch]:
         x = dense.x
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
         for _ in range(self.num_pre_layers):
             x = nn.relu(GCNConv(self.hidden,
-                                normalize=not self.pre_normalized)(dense, x))
+                                normalize=not self.pre_normalized,
+                                mask_output=not self.fast_masks,
+                                dtype=self.compute_dtype)(dense, x))
         dense = DenseGraphBatch(x=x, adj=dense.adj, mask=dense.mask)
 
         # TopkSelect scoring (reference: tgp/select/topk_select.py:169-199)
@@ -135,14 +146,18 @@ class DenseTopkClassifier(nn.Module):
             lambda key, shape: jax.random.uniform(
                 key, shape, minval=-bound, maxval=bound),
             (self.hidden,))
-        score = jnp.tanh((x @ p) / jnp.maximum(jnp.linalg.norm(p), 1e-12))
+        score = jnp.tanh((x.astype(p.dtype) @ p)
+                         / jnp.maximum(jnp.linalg.norm(p), 1e-12))
         pooled = dense_topk_pool(dense, score, self.ratio)
 
         h = pooled.x
         for _ in range(self.num_post_layers):
             h = nn.relu(GCNConv(self.hidden,
-                                normalize=self.post_normalize)(pooled, h))
-        z = global_reduce(h, mask=pooled.mask, op=self.readout)
+                                normalize=self.post_normalize,
+                                mask_output=not self.fast_masks,
+                                dtype=self.compute_dtype)(pooled, h))
+        z = global_reduce(h.astype(jnp.float32), mask=pooled.mask,
+                          op=self.readout)
         z = nn.relu(nn.Dense(self.hidden)(z))
         logits = nn.Dense(self.num_classes)(z)
         return logits, pooled

@@ -54,13 +54,20 @@ class GCNConv(nn.Module):
     #: with ``sort_edges=True``; self-loops are applied as a separate
     #: diagonal term so the sorted layout is preserved)
     use_pallas: bool = False
+    #: dense path: skip the output padding mask (safe when the caller never
+    #: reads padding rows — e.g. top-k selection masks scores itself; saves
+    #: one full [B,N,F] HBM pass per layer)
+    mask_output: bool = True
+    #: matmul compute dtype (params stay f32); bf16 doubles MXU throughput
+    #: and halves HBM traffic on the feature path
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, batch: Union[GraphBatch, DenseGraphBatch],
                  x: Optional[jax.Array] = None) -> jax.Array:
         if x is None:
             x = batch.x
-        h = nn.Dense(self.out_channels, use_bias=False,
+        h = nn.Dense(self.out_channels, use_bias=False, dtype=self.dtype,
                      kernel_init=nn.initializers.glorot_uniform())(x)
         if (self.use_pallas and isinstance(batch, GraphBatch)
                 and batch.edges_sorted):
@@ -94,9 +101,11 @@ class GCNConv(nn.Module):
                 deg = jnp.clip(jnp.abs(adj).sum(-1), 1e-12, None)
                 dinv = jax.lax.rsqrt(deg)
                 adj = dinv[..., :, None] * adj * dinv[..., None, :]
+            acc_dtype = jnp.float32 if self.dtype is None else h.dtype
             out = jnp.einsum("bnm,bmf->bnf", adj, h.astype(adj.dtype),
-                             preferred_element_type=h.dtype)
-            out = jnp.where(batch.mask[..., None], out, 0.0)
+                             preferred_element_type=acc_dtype)
+            if self.mask_output:
+                out = jnp.where(batch.mask[..., None], out, 0.0)
         else:
             s, r, w = gcn_norm(batch, self.add_self_loops)
             out = spmm(s, r, w, h, batch.num_nodes)
