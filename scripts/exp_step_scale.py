@@ -48,8 +48,12 @@ def prep(graphs):
         int(np.asarray(batch.edge_mask).sum())
 
 
-def timed(one_step, carry):
-    def run(n, p, o):
+def timed(make_step, carry, dense, y):
+    # dense/y are jit ARGUMENTS (not closure constants) so the big arrays
+    # are device buffers, not HLO literals — the remote-compile endpoint
+    # rejects large embedded constants with HTTP 413
+    def run(n, p, o, dense, y):
+        one_step = make_step(dense, y)
         (p, o), losses = jax.lax.scan(one_step, (p, o), None, length=n)
         return losses[-1]
 
@@ -57,11 +61,11 @@ def timed(one_step, carry):
 
     def t_of(n):
         f = jax.jit(functools.partial(run, n))
-        jax.block_until_ready(f(p, o))
+        jax.block_until_ready(f(p, o, dense, y))
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(f(p, o))
+            jax.block_until_ready(f(p, o, dense, y))
             ts.append(time.perf_counter() - t0)
         return sorted(ts)[1]
 
@@ -80,18 +84,20 @@ def variant(name, B, flat, dtype=None):
         tx = optax.flatten(tx)
     opt = tx.init(params)
 
-    def loss_fn(p):
-        logits, _ = model.apply(p, dense)
-        return optax.softmax_cross_entropy_with_integer_labels(
-            logits, y).mean()
+    def make_step(dense, y):
+        def loss_fn(p):
+            logits, _ = model.apply(p, dense)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean()
 
-    def one_step(carry, _):
-        p, o = carry
-        l, grads = jax.value_and_grad(loss_fn)(p)
-        updates, o = tx.update(grads, o)
-        return (optax.apply_updates(p, updates), o), l
+        def one_step(carry, _):
+            p, o = carry
+            l, grads = jax.value_and_grad(loss_fn)(p)
+            updates, o = tx.update(grads, o)
+            return (optax.apply_updates(p, updates), o), l
+        return one_step
 
-    dt = timed(one_step, (params, opt))
+    dt = timed(make_step, (params, opt), dense, y)
     print(f"{name:22s} {dt*1e6:9.1f} µs/step ({n_edges/dt/1e6:8.1f} "
           f"M edges/s)", flush=True)
 
