@@ -66,9 +66,10 @@ def main():
             np.float32))  # keep FLOPs comparable: n×(n/8) @ (n/8)×F
         x0 = jnp.asarray(rng.normal(size=(bb, nn_ // 8, F)).astype(
             np.float32))
+        m_dim = nn_ // 8
         dt = chain(lambda x: jnp.einsum("bnm,bmf->bnf", A, x,
                                         preferred_element_type=jnp.float32
-                                        )[..., :F], x0, iters=50)
+                                        )[:, :m_dim, :], x0, iters=50)
         fl = 2 * bb * nn_ * (nn_ // 8) * F
         print(f"{name:14s} {dt*1e6:8.1f} µs  {fl/dt/1e12:6.2f} TF/s",
               flush=True)

@@ -218,3 +218,53 @@ def test_typing_aliases_importable():
 
     for t in (SinvType, LiftType, ConnectionType, ReduceType):
         assert t is not None
+
+
+@pytest.mark.parametrize("largest", [True, False])
+def test_lobpcg_matches_numpy(largest):
+    """Blocked LOBPCG vs numpy.eigh on a small symmetric operator."""
+    from tgp_tpu.graph import from_graphs
+    from tgp_tpu.ops.lap import lobpcg
+
+    x, ei = erdos_renyi_graph(24, p=0.3, seed=7)
+    w = np.random.default_rng(0).uniform(0.5, 2.0, ei.shape[1])
+    # symmetrize weights (undirected edge list has both directions)
+    key = ei[0] * 24 + ei[1]
+    keyT = ei[1] * 24 + ei[0]
+    lut = dict(zip(key, w))
+    w = np.array([(lut[a] + lut.get(b, lut[a])) / 2
+                  for a, b in zip(key, keyT)], np.float32)
+    b = from_graphs([(x, ei, w)])
+    vals, vecs = lobpcg(b.senders, b.receivers, b.edge_weight, b.num_nodes,
+                        k=3, num_iters=80, largest=largest)
+    A = np.zeros((b.num_nodes, b.num_nodes))
+    s, r = np.asarray(b.senders), np.asarray(b.receivers)
+    em = np.asarray(b.edge_mask)
+    A[s[em], r[em]] = np.asarray(b.edge_weight)[em]
+    evals = np.linalg.eigvalsh(A[:24, :24])
+    want = evals[-3:][::-1] if largest else evals[:3]
+    np.testing.assert_allclose(np.asarray(vals)[:3], want, rtol=1e-3,
+                               atol=1e-3)
+    # eigvector residual ||Av - λv|| small
+    v0 = np.asarray(vecs)[:24, 0]
+    lam = float(vals[0])
+    res = np.linalg.norm(A[:24, :24] @ v0 - lam * v0)
+    assert res < 1e-2 * max(abs(lam), 1.0)
+
+
+def test_ndp_level_lobpcg_solver():
+    """ndp_level with the device LOBPCG solver produces a valid bipartition
+    comparable to the scipy path."""
+    from tgp_tpu.precoarsen.ndp import ndp_level
+
+    x, ei = erdos_renyi_graph(48, p=0.15, seed=9)
+    lvl_a = ndp_level(ei, 48, eigensolver="auto")
+    lvl_b = ndp_level(ei, 48, eigensolver="lobpcg")
+    for lvl in (lvl_a, lvl_b):
+        ci = np.asarray(lvl["cluster_index"])
+        k = lvl["num_clusters"]
+        assert 0 < k < 48
+        assert (ci[ci >= 0] < k).all()
+    # same solver target → similar split sizes (eigvec sign ambiguity OK)
+    ka, kb = lvl_a["num_clusters"], lvl_b["num_clusters"]
+    assert min(ka, kb, 48 - ka, 48 - kb) > 0

@@ -67,7 +67,11 @@ def kron_reduction(L: sp.spmatrix, idx_pos, idx_neg,
 
 
 def ndp_level(edge_index, num_nodes, edge_weight=None, *,
-              sparse_threshold: float = 1e-2, seed: int = 0) -> dict:
+              sparse_threshold: float = 1e-2, seed: int = 0,
+              eigensolver: str = "auto") -> dict:
+    """``eigensolver``: "auto" (dense eigh under 40 nodes, scipy eigsh
+    above — the reference's torch.lobpcg stand-ins) or "lobpcg" (our
+    device-side blocked LOBPCG, ops/lap.py::lobpcg)."""
     rng = np.random.default_rng(seed)
     L, A = laplacian_csr(edge_index, num_nodes, edge_weight)
     Ls, _ = laplacian_csr(edge_index, num_nodes, edge_weight,
@@ -77,7 +81,17 @@ def ndp_level(edge_index, num_nodes, edge_weight=None, *,
         vec = np.ones(num_nodes)
     else:
         try:
-            if num_nodes < 40:
+            if eigensolver == "lobpcg":
+                from tgp_tpu.ops.lap import lobpcg as _lobpcg
+                import jax.numpy as jnp
+
+                coo = Ls.tocoo()
+                _, v = _lobpcg(jnp.asarray(coo.row, jnp.int32),
+                               jnp.asarray(coo.col, jnp.int32),
+                               jnp.asarray(coo.data, jnp.float32),
+                               num_nodes, k=1, num_iters=80, largest=True)
+                vec = np.asarray(v[:, 0])
+            elif num_nodes < 40:
                 w, v = np.linalg.eigh(Ls.toarray())
                 vec = v[:, -1]
             else:
