@@ -268,3 +268,43 @@ def test_ndp_level_lobpcg_solver():
     # same solver target → similar split sizes (eigvec sign ambiguity OK)
     ka, kb = lvl_a["num_clusters"], lvl_b["num_clusters"]
     assert min(ka, kb, 48 - ka, 48 - kb) > 0
+
+
+def test_assign_all_nodes_random_fallback():
+    """With a key, disconnected remainders get a uniformly random occupied
+    supernode of their OWN graph (reference get_random_map_mask,
+    tgp/utils/ops.py:1177-1219)."""
+    from tgp_tpu.ops.assignment import assign_all_nodes
+    from tgp_tpu.select.base import cluster_to_select_output
+    from tgp_tpu.graph import from_graphs
+
+    # two graphs; graph 0: nodes 0-3 with NO edges between 2,3 and the
+    # seeds; seeds: node 0 -> cluster 0, node 1 -> cluster 1
+    x = np.ones((8, 2), np.float32)
+    ei = np.array([[0, 1, 4, 5], [1, 0, 5, 4]])
+    b = from_graphs([(x[:4], ei[:, :2]), (x[4:], ei[:, 2:] - 4)])
+    N = b.num_nodes
+    ci = np.zeros(N, np.int64)
+    sel = np.zeros(N, bool)
+    # seeds: nodes 0,1 (graph 0) -> clusters 0,1; node 4 (graph 1) -> 4
+    for n, c in ((0, 0), (1, 1), (4, 4)):
+        ci[n], sel[n] = c, True
+    so = cluster_to_select_output(
+        jnp.asarray(ci), b, node_sel_mask=jnp.asarray(sel),
+        num_clusters=N, max_clusters=b.max_nodes, partial=True)
+    out = assign_all_nodes(so, b.senders, b.receivers, b.edge_mask,
+                           max_iter=1, key=jax.random.key(0))
+    ci2 = np.asarray(out.cluster_index)
+    nm = np.asarray(b.node_mask)
+    ng = np.asarray(b.node_graph)
+    assert np.asarray(out.node_sel_mask)[nm].all()
+    # every node's cluster lives in its own graph
+    cg = np.asarray(out.cluster_graph)
+    for i in np.nonzero(nm)[0]:
+        assert cg[ci2[i]] == ng[i], i
+    # graph-0 isolated nodes (2,3) landed on one of graph-0's seeds
+    assert ci2[2] in (0, 1) and ci2[3] in (0, 1)
+    # different keys can differ (randomness is live); same key reproduces
+    out_b = assign_all_nodes(so, b.senders, b.receivers, b.edge_mask,
+                             max_iter=1, key=jax.random.key(0))
+    np.testing.assert_array_equal(ci2, np.asarray(out_b.cluster_index))

@@ -74,14 +74,19 @@ def propagate_assignments_step(cluster_index, assigned, senders, receivers,
 
 
 def assign_all_nodes(so, senders, receivers, edge_mask, *,
-                     max_iter: int = 5, weight: Optional[jax.Array] = None):
+                     max_iter: int = 5, weight: Optional[jax.Array] = None,
+                     key: Optional[jax.Array] = None):
     """Upgrade a partial :class:`~tgp_tpu.select.SelectOutput` to a total
     assignment (reference: ``SelectOutput.assign_all_nodes``,
     tgp/select/base_select.py:381-486).
 
-    Propagates ``max_iter`` rounds, then assigns any remaining valid node to
-    the first (lowest-id) occupied supernode of its graph.  ``weight``
-    replaces the per-node assignment weight (MaxCut passes its scores).
+    Propagates ``max_iter`` rounds, then assigns any remaining valid node
+    within its own graph: to a *uniformly random occupied supernode* when
+    ``key`` is given (the reference's ``get_random_map_mask`` batch-
+    respecting semantics, tgp/utils/ops.py:1177-1219), else to the first
+    (lowest-id) occupied supernode (deterministic default — reproducible
+    under jit without an rng plumb-through).  ``weight`` replaces the
+    per-node assignment weight (MaxCut passes its scores).
     """
     cluster_index = so.cluster_index
     assigned = so.node_sel_mask
@@ -90,17 +95,37 @@ def assign_all_nodes(so, senders, receivers, edge_mask, *,
             cluster_index, assigned, senders, receivers, edge_mask,
             so.num_clusters)
 
-    # fallback: first occupied supernode of the node's graph
     occupied = segment_sum(
         jnp.ones_like(cluster_index), cluster_index, so.num_clusters,
         mask=assigned) > 0
     C = so.num_clusters
-    first_in_graph = segment_min(
-        jnp.arange(C, dtype=jnp.int32), so.cluster_graph, so.num_graphs,
-        mask=occupied)
-    first_in_graph = jnp.clip(first_in_graph, 0, C - 1)
-    fallback = first_in_graph[so.node_graph]
     remaining = so.node_mask & ~assigned
+    if key is not None:
+        # reference-equivalent random fallback: uniform over the graph's
+        # occupied supernodes.  table[g, j] = id of the graph's j-th
+        # occupied supernode (rank by ascending id, like the reference's
+        # cumsum-offset indexing of batch-sorted kept nodes)
+        from tgp_tpu.ops.segment import segment_topk_rank
+
+        rank = segment_topk_rank(
+            -jnp.arange(C, dtype=jnp.float32), so.cluster_graph,
+            so.num_graphs, mask=occupied)
+        counts = segment_sum(jnp.ones(C, jnp.int32), so.cluster_graph,
+                             so.num_graphs, mask=occupied)
+        Kmax = so.max_clusters
+        table = jnp.zeros((so.num_graphs, Kmax), jnp.int32).at[
+            so.cluster_graph, jnp.clip(rank, 0, Kmax - 1)].max(
+                jnp.where(occupied, jnp.arange(C, dtype=jnp.int32), 0))
+        u = jax.random.uniform(key, cluster_index.shape)
+        n_g = jnp.maximum(counts[so.node_graph], 1)
+        j = jnp.floor(u * n_g).astype(jnp.int32)
+        fallback = table[so.node_graph, jnp.clip(j, 0, Kmax - 1)]
+    else:
+        first_in_graph = segment_min(
+            jnp.arange(C, dtype=jnp.int32), so.cluster_graph, so.num_graphs,
+            mask=occupied)
+        first_in_graph = jnp.clip(first_in_graph, 0, C - 1)
+        fallback = first_in_graph[so.node_graph]
     cluster_index = jnp.where(remaining, fallback, cluster_index)
     assigned = assigned | remaining
 
