@@ -87,12 +87,15 @@ class SRCPooling(nn.Module):
     lift_op: str = "precomputed"
     lift_red_op: str = "sum"
 
-    # capability flags (overridden per pooler)
-    IS_DENSE: bool = False
-    HAS_LOSS: bool = False
-    IS_TRAINABLE: bool = False
-    IS_PRECOARSENABLE: bool = False
-    SUPPORTS_SPARSE_OUT: bool = True
+    # capability flags — PLAIN class attributes, not dataclass fields:
+    # subclasses override with bare assignments (``IS_TRAINABLE = True``)
+    # and both class- and instance-level reads see the override (a field
+    # default would shadow un-annotated subclass overrides on instances)
+    IS_DENSE = False
+    HAS_LOSS = False
+    IS_TRAINABLE = False
+    IS_PRECOARSENABLE = False
+    SUPPORTS_SPARSE_OUT = True
 
     def reduce(self, x: jax.Array, so: SelectOutput, **kw) -> jax.Array:
         return base_reduce(x, so, **kw)
@@ -138,7 +141,7 @@ class DenseSRCPooling(SRCPooling):
                  (segment outer) → connect (SpMM twin)
     """
 
-    IS_DENSE: bool = True
+    IS_DENSE = True
 
     @staticmethod
     def ensure_dense(batch, adj_transpose: bool = False) -> DenseGraphBatch:
