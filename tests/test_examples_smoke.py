@@ -42,3 +42,24 @@ def test_pre_coarsening():
 
     acc = main("graclus", epochs=5, verbose=False)
     assert acc > 0.5
+
+
+def test_clustering_tvgnn():
+    from examples.clustering_tvgnn import main
+
+    nmi = main(epochs=60, verbose=False)
+    assert nmi > 0.5
+
+
+def test_classification_aggr_reduce():
+    from examples.classification_aggr_reduce import main
+
+    acc = main("set2set", epochs=5, verbose=False)
+    assert acc > 0.5
+
+
+def test_classification_pan():
+    from examples.classification_pan import main
+
+    acc = main(epochs=5, verbose=False)
+    assert acc > 0.4
