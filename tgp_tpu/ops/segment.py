@@ -31,12 +31,18 @@ _NEG_INF = jnp.finfo(jnp.float32).min
 _POS_INF = jnp.finfo(jnp.float32).max
 
 
-def segment_sum(data, segment_ids, num_segments, mask=None):
-    """Masked scatter-add: ``out[s] = Σ_{i: seg[i]==s, mask[i]} data[i]``."""
+def segment_sum(data, segment_ids, num_segments, mask=None, *,
+                indices_are_sorted: bool = False):
+    """Masked scatter-add: ``out[s] = Σ_{i: seg[i]==s, mask[i]} data[i]``.
+
+    ``indices_are_sorted=True`` (caller guarantees ascending ``segment_ids``)
+    lets XLA skip the serialized random-scatter path — measured ~5-7× faster
+    on TPU for 1-d updates (scripts/exp_sorted_segment.py)."""
     if mask is not None:
         shape = data.shape if data.ndim == mask.ndim else mask.shape + (1,) * (data.ndim - mask.ndim)
         data = jnp.where(mask.reshape(shape), data, 0)
-    return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
+    return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments,
+                               indices_are_sorted=indices_are_sorted)
 
 
 def segment_count(segment_ids, num_segments, mask=None):
@@ -53,7 +59,8 @@ def segment_mean(data, segment_ids, num_segments, mask=None, eps: float = 1e-12)
     return s / c
 
 
-def segment_max(data, segment_ids, num_segments, mask=None):
+def segment_max(data, segment_ids, num_segments, mask=None, *,
+                indices_are_sorted: bool = False):
     """Masked segment max; empty float segments return ``-inf`` (so
     ``isfinite`` guards catch them — a finite dtype-min fill silently
     overflows downstream dense layers), empty int segments dtype-min."""
@@ -62,10 +69,12 @@ def segment_max(data, segment_ids, num_segments, mask=None):
         fill = (-jnp.inf if jnp.issubdtype(data.dtype, jnp.floating)
                 else jnp.iinfo(data.dtype).min)
         data = jnp.where(mask.reshape(shape), data, fill)
-    return jax.ops.segment_max(data, segment_ids, num_segments=num_segments)
+    return jax.ops.segment_max(data, segment_ids, num_segments=num_segments,
+                               indices_are_sorted=indices_are_sorted)
 
 
-def segment_min(data, segment_ids, num_segments, mask=None):
+def segment_min(data, segment_ids, num_segments, mask=None, *,
+                indices_are_sorted: bool = False):
     """Masked segment min; empty float segments return ``+inf``, empty int
     segments dtype-max."""
     if mask is not None:
@@ -73,7 +82,8 @@ def segment_min(data, segment_ids, num_segments, mask=None):
         fill = (jnp.inf if jnp.issubdtype(data.dtype, jnp.floating)
                 else jnp.iinfo(data.dtype).max)
         data = jnp.where(mask.reshape(shape), data, fill)
-    return jax.ops.segment_min(data, segment_ids, num_segments=num_segments)
+    return jax.ops.segment_min(data, segment_ids, num_segments=num_segments,
+                               indices_are_sorted=indices_are_sorted)
 
 
 def segment_softmax(scores, segment_ids, num_segments, mask=None):

@@ -115,16 +115,33 @@ def add_remaining_self_loops(senders, receivers, edge_weight, edge_mask,
     return s, r, w, m
 
 
-def spmm(senders, receivers, edge_weight, x, num_nodes: int):
+def spmm(senders, receivers, edge_weight, x, num_nodes: int, *,
+         indices_are_sorted: bool = False):
     """Sparse matmul ``(A X)[r] = Σ_{e: recv[e]=r} w_e · x[send_e]``.
 
     The gather + segment-sum formulation of SpMM — the single hottest sparse
     primitive (reference analogue: ``torch.sparse.mm`` / torch_scatter
     scatter in message passing and reduce; SURVEY §7).  Padding edges carry
-    zero weight, so no masking is needed.
+    zero weight, so no masking is needed.  Pass ``indices_are_sorted=True``
+    when ``receivers`` is ascending (e.g. after :func:`sort_by_receiver`) to
+    skip XLA's serialized random-scatter path.
     """
     msgs = x[senders] * edge_weight[:, None]
-    return jax.ops.segment_sum(msgs, receivers, num_segments=num_nodes)
+    return jax.ops.segment_sum(msgs, receivers, num_segments=num_nodes,
+                               indices_are_sorted=indices_are_sorted)
+
+
+def sort_by_receiver(senders, receivers, edge_weight, edge_mask=None):
+    """Reorder a masked COO by ascending receiver so repeated ``spmm`` /
+    segment ops over it can use ``indices_are_sorted=True`` (sorted scatters
+    measured ~7× faster than random on TPU for 1-d updates,
+    scripts/exp_sorted_segment.py).  Pays one argsort — worth it whenever
+    the same adjacency drives ≥2 propagation rounds."""
+    perm = jnp.argsort(receivers)
+    out = (senders[perm], receivers[perm], edge_weight[perm])
+    if edge_mask is not None:
+        out = out + (edge_mask[perm],)
+    return out
 
 
 def sddmm(senders, receivers, a, b):

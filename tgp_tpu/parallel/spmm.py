@@ -148,8 +148,9 @@ def make_ring_halo_spmm(mesh: Mesh, rows_per: int, n_devices: int,
             return (nxt, acc)
 
         # acc must carry the same varying-axes type as the rotating shard
-        acc0 = jax.lax.pvary(
-            jnp.zeros((rows_per, x_local.shape[-1]), x_local.dtype), (axis,))
+        acc0 = jax.lax.pcast(
+            jnp.zeros((rows_per, x_local.shape[-1]), x_local.dtype), (axis,),
+            to="varying")
         _, acc = jax.lax.fori_loop(0, n_devices, step, (x_local, acc0))
         return acc
 

@@ -20,12 +20,42 @@ from tgp_tpu.graph import GraphBatch
 from tgp_tpu.ops.segment import segment_min, segment_softmax, segment_sum
 from tgp_tpu.select.base import SelectOutput
 
-__all__ = ["maximal_matching", "EdgeContractionSelect"]
+__all__ = ["maximal_matching", "maximal_matching_dense", "matching",
+           "EdgeContractionSelect"]
+
+#: auto-dispatch threshold: run the dense matching loop when the
+#: ``B·Nmax²`` rank matrix stays under 16M elements (64 MB int32)
+_DENSE_BUDGET = 2 ** 24
+
+
+def matching(rank, batch: GraphBatch, impl: str = "auto"):
+    """Dispatch greedy maximal matching: ``'dense'`` (scatter-free
+    ``[B,Nmax,Nmax]`` loop — ~3× faster at pooling scales), ``'sparse'``
+    (COO scatter loop, for huge graphs), or ``'auto'`` by memory budget."""
+    if impl == "auto":
+        impl = ("dense" if batch.num_graphs * batch.max_nodes ** 2
+                <= _DENSE_BUDGET else "sparse")
+    if impl == "dense":
+        return maximal_matching_dense(
+            rank, batch.senders, batch.receivers, batch.edge_mask,
+            batch.node_graph, batch.node_pos, batch.num_graphs,
+            batch.max_nodes)
+    if impl == "sparse":
+        return maximal_matching(rank, batch.senders, batch.receivers,
+                                batch.edge_mask, batch.num_nodes)
+    raise ValueError(f"unknown matching impl {impl!r}")
 
 
 def maximal_matching(rank, senders, receivers, edge_mask, num_nodes: int):
     """Greedy maximal matching by edge ``rank`` (lower = first).
-    Returns a bool ``[E]`` mask of matched edges."""
+    Returns a bool ``[E]`` mask of matched edges.
+
+    Pure-sparse variant: every round pays two random scatters over ``2E``
+    update rows, which XLA serializes on TPU (~10 ns/row — pre-sorting the
+    loop-invariant indices and using ``indices_are_sorted=True`` was
+    measured *slower*, the per-round re-gather eats the win; scripts/
+    exp_sorted_segment.py).  For small per-graph node counts prefer
+    :func:`maximal_matching_dense` (zero scatters per round)."""
     E = rank.shape[0]
     BIG = jnp.int32(E + 1)
 
@@ -52,12 +82,56 @@ def maximal_matching(rank, senders, receivers, edge_mask, num_nodes: int):
     return match
 
 
+def maximal_matching_dense(rank, senders, receivers, edge_mask, node_graph,
+                           node_pos, num_graphs: int, max_nodes: int):
+    """Scatter-free maximal matching on the per-graph dense rank matrix.
+
+    Identical greedy-Blelloch semantics to :func:`maximal_matching`, but the
+    loop state lives in a ``[B, Nmax, Nmax]`` dense tensor: per-round
+    node-min is a pair of row/column min-reductions and "matched" is a pair
+    of ``any`` reductions — all VPU-friendly elementwise/reduce passes, no
+    scatters.  One ``.at[].min`` scatter builds the rank matrix outside the
+    loop, one gather reads the result back per edge.  ~B·Nmax² memory; use
+    for ``Nmax ≲ 2k`` (same regime as models/fast_dense.py).
+    """
+    E = rank.shape[0]
+    BIG = jnp.int32(E + 1)
+    g = node_graph[senders]
+    li = node_pos[senders]
+    lj = node_pos[receivers]
+    r_e = jnp.where(edge_mask, rank, BIG)
+    D0 = jnp.full((num_graphs, max_nodes, max_nodes), BIG, jnp.int32)
+    D0 = D0.at[g, li, lj].min(r_e)  # duplicate directed edges coalesce by min
+    active0 = D0 < BIG
+
+    def cond(state):
+        match_D, active_D = state
+        return jnp.any(active_D)
+
+    def body(state):
+        match_D, active_D = state
+        Da = jnp.where(active_D, D0, BIG)
+        node_min = jnp.minimum(Da.min(axis=2), Da.min(axis=1))  # [B, Nm]
+        edge_min = jnp.minimum(node_min[:, :, None], node_min[:, None, :])
+        new_match = match_D | (active_D & (D0 == edge_min))
+        matched = new_match.any(axis=2) | new_match.any(axis=1)  # [B, Nm]
+        active2 = active_D & ~matched[:, :, None] & ~matched[:, None, :]
+        return new_match, active2
+
+    match0 = jnp.zeros_like(active0)
+    match_D, _ = jax.lax.while_loop(cond, body, (match0, active0))
+    # back to per-edge: the cell is matched AND this directed edge holds the
+    # cell's (min) rank — excludes coalesced duplicate losers
+    return match_D[g, li, lj] & edge_mask & (D0[g, li, lj] == r_e)
+
+
 class EdgeContractionSelect(nn.Module):
     in_channels: int = 0
     edge_score_method: str = "softmax"  # 'softmax' | 'tanh' | 'sigmoid'
     dropout: float = 0.0
     add_to_edge_score: float = 0.5
     s_inv_op: str = "transpose"
+    matching_impl: str = "auto"  # 'auto' | 'dense' | 'sparse'
 
     @nn.compact
     def __call__(self, batch: GraphBatch,
@@ -81,7 +155,7 @@ class EdgeContractionSelect(nn.Module):
         order = jnp.lexsort((-e, ~em))
         rank = jnp.zeros(E, jnp.int32).at[order].set(
             jnp.arange(E, dtype=jnp.int32))
-        match = maximal_matching(rank, s, r, em, N)
+        match = matching(rank, batch, self.matching_impl)
 
         # cluster root: every node → itself; matched receivers → their sender
         cluster = jnp.arange(N, dtype=jnp.int32)

@@ -20,19 +20,20 @@ import jax.numpy as jnp
 
 from tgp_tpu.graph import GraphBatch
 from tgp_tpu.select.base import SelectOutput
-from tgp_tpu.select.edge_contraction import maximal_matching
+from tgp_tpu.select.edge_contraction import matching
 
 __all__ = ["graclus_select"]
 
 
 def graclus_select(batch: GraphBatch, *, weighted: bool = True,
-                   s_inv_op: str = "transpose") -> SelectOutput:
+                   s_inv_op: str = "transpose",
+                   matching_impl: str = "auto") -> SelectOutput:
     N, E = batch.num_nodes, batch.num_edges
     s, r, em = batch.senders, batch.receivers, batch.edge_mask
     w = batch.edge_weight if weighted else jnp.ones(E)
     order = jnp.lexsort((-w, ~em))
     rank = jnp.zeros(E, jnp.int32).at[order].set(jnp.arange(E, dtype=jnp.int32))
-    match = maximal_matching(rank, s, r, em, N)
+    match = matching(rank, batch, matching_impl)
 
     cluster = jnp.arange(N, dtype=jnp.int32)
     # matched pair collapses onto the smaller node index (deterministic root)

@@ -22,7 +22,8 @@ from tgp_tpu.ops.segment import segment_min, segment_sum
 from tgp_tpu.ops.sparse import weighted_degree
 from tgp_tpu.select.base import SelectOutput
 
-__all__ = ["maximal_independent_set", "mis_cluster", "KMISSelect"]
+__all__ = ["maximal_independent_set", "maximal_independent_set_dense",
+           "mis_cluster", "mis_cluster_dense", "KMISSelect"]
 
 
 def _khop_min(vals, senders, receivers, edge_mask, num_nodes, k):
@@ -75,6 +76,91 @@ def maximal_independent_set(rank, senders, receivers, edge_mask, node_mask,
     return mis
 
 
+# -- dense (scatter-free) twin --------------------------------------------
+#
+# Every MIS round pays 2·order_k random scatters in the sparse loop, which
+# XLA serializes over update rows on TPU.  For pooling-scale graphs
+# (Nmax ≲ 2k) the whole loop runs on a per-graph dense adjacency instead:
+# min-propagation = masked column-min over [B, Nm, Nm], coverage = masked
+# any — elementwise/reduce passes only (same rationale as
+# edge_contraction.maximal_matching_dense).
+
+def _to_dense_min(vals, node_graph, node_pos, num_graphs, max_nodes, big):
+    """Packed → dense node scatter, min-combining: padding rows alias the
+    cell ``[B-1, Nm-1]`` (graph.py:228-229), so they must carry ``big`` and
+    combine by min to never clobber a real node's value."""
+    d = jnp.full((num_graphs, max_nodes), big, vals.dtype)
+    return d.at[node_graph, node_pos].min(vals)
+
+
+def _dense_bool_adj(batch):
+    g = batch.node_graph[batch.senders]
+    li = batch.node_pos[batch.senders]
+    lj = batch.node_pos[batch.receivers]
+    A = jnp.zeros((batch.num_graphs, batch.max_nodes, batch.max_nodes), bool)
+    return A.at[g, li, lj].max(batch.edge_mask)
+
+
+def _khop_min_dense(vals, A, k):
+    """``vals [B,Nm]`` → per-node min over k-hop in-neighborhood ∪ self."""
+    MAX = jnp.iinfo(jnp.int32).max
+    for _ in range(k):
+        neigh = jnp.where(A, vals[:, :, None], MAX).min(axis=1)
+        vals = jnp.minimum(neigh, vals)
+    return vals
+
+
+def _khop_or_dense(flags, A, k):
+    for _ in range(k):
+        flags = flags | (A & flags[:, :, None]).any(axis=1)
+    return flags
+
+
+def maximal_independent_set_dense(rank, batch, order_k: int = 1):
+    """Dense-loop twin of :func:`maximal_independent_set` (packed in/out)."""
+    N = rank.shape[0]
+    BIG = jnp.int32(N)
+    B, Nm = batch.num_graphs, batch.max_nodes
+    ng, np_, nm = batch.node_graph, batch.node_pos, batch.node_mask
+    A = _dense_bool_adj(batch)
+    rank_d = _to_dense_min(jnp.where(nm, rank, BIG), ng, np_, B, Nm, BIG)
+    mask_d = jnp.zeros((B, Nm), bool).at[ng, np_].max(nm)
+
+    def cond(state):
+        mis, covered, min_rank = state
+        return ~jnp.all(covered)
+
+    def body(state):
+        mis, covered, min_rank = state
+        mr = _khop_min_dense(min_rank, A, order_k)
+        mis = mis | (mask_d & (rank_d == mr))
+        covered2 = _khop_or_dense(mis, A, order_k)
+        covered2 = covered2 | ~mask_d | mis
+        min_rank2 = jnp.where(covered2, BIG, rank_d)
+        return mis, covered2, min_rank2
+
+    state = (jnp.zeros((B, Nm), bool), ~mask_d, rank_d)
+    mis_d, _, _ = jax.lax.while_loop(cond, body, state)
+    return mis_d[ng, np_] & nm
+
+
+def mis_cluster_dense(mis, rank, batch, order_k: int = 1):
+    """Dense twin of :func:`mis_cluster` (packed in/out)."""
+    N = rank.shape[0]
+    BIG = jnp.int32(N)
+    B, Nm = batch.num_graphs, batch.max_nodes
+    ng, np_, nm = batch.node_graph, batch.node_pos, batch.node_mask
+    A = _dense_bool_adj(batch)
+    min_rank = jnp.where(mis & nm, rank, BIG)
+    mr_d = _to_dense_min(min_rank, ng, np_, B, Nm, BIG)
+    min_rank = _khop_min_dense(mr_d, A, order_k)[ng, np_]
+    inv = jnp.zeros(N + 1, jnp.int32).at[jnp.clip(rank, 0, N)].set(
+        jnp.arange(N, dtype=jnp.int32))
+    cluster = inv[jnp.clip(min_rank, 0, N)]
+    unreached = (min_rank >= BIG) & nm
+    return jnp.where(unreached, jnp.arange(N, dtype=jnp.int32), cluster)
+
+
 def mis_cluster(mis, rank, senders, receivers, edge_mask, node_mask,
                 order_k: int = 1):
     """Assign every node to its nearest (min-rank within k hops) MIS member;
@@ -102,6 +188,7 @@ class KMISSelect(nn.Module):
     scorer: str = "linear"
     score_heuristic: Optional[str] = "greedy"
     s_inv_op: str = "transpose"
+    mis_impl: str = "auto"  # 'auto' | 'dense' | 'sparse'
 
     def _score(self, batch: GraphBatch) -> jax.Array:
         if self.scorer == "linear":
@@ -137,12 +224,21 @@ class KMISSelect(nn.Module):
         order = jnp.lexsort((-updated, ~batch.node_mask))
         rank = jnp.zeros(batch.num_nodes, jnp.int32).at[order].set(
             jnp.arange(batch.num_nodes, dtype=jnp.int32))
-        mis = maximal_independent_set(
-            rank, batch.senders, batch.receivers, batch.edge_mask,
-            batch.node_mask, self.order_k)
-        cluster = mis_cluster(
-            mis, rank, batch.senders, batch.receivers, batch.edge_mask,
-            batch.node_mask, self.order_k)
+        impl = self.mis_impl
+        if impl == "auto":
+            from tgp_tpu.select.edge_contraction import _DENSE_BUDGET
+            impl = ("dense" if batch.num_graphs * batch.max_nodes ** 2
+                    <= _DENSE_BUDGET else "sparse")
+        if impl == "dense":
+            mis = maximal_independent_set_dense(rank, batch, self.order_k)
+            cluster = mis_cluster_dense(mis, rank, batch, self.order_k)
+        else:
+            mis = maximal_independent_set(
+                rank, batch.senders, batch.receivers, batch.edge_mask,
+                batch.node_mask, self.order_k)
+            cluster = mis_cluster(
+                mis, rank, batch.senders, batch.receivers, batch.edge_mask,
+                batch.node_mask, self.order_k)
         return SelectOutput(
             cluster_index=cluster,
             weight=jnp.where(batch.node_mask, score, 0.0),

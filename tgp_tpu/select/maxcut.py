@@ -37,28 +37,61 @@ class MaxCutScoreNet(nn.Module):
     mlp_act: str = "relu"
     act: str = "tanh"
     delta: float = 2.0
+    #: ``'dense'`` densifies P once per call and runs the (default 12)
+    #: propagation rounds as batched matmuls on the MXU — at pooling scales
+    #: one XLA scatter SpMM costs more than ALL the bmm rounds together;
+    #: ``'auto'`` picks dense under the B·Nmax² memory budget
+    mp_impl: str = "auto"  # 'auto' | 'dense' | 'sparse'
 
     @nn.compact
     def __call__(self, batch: GraphBatch) -> jax.Array:
+        from tgp_tpu.select.edge_contraction import _DENSE_BUDGET
+
         s, r, w, m = delta_gcn_matrix(
             batch.senders, batch.receivers, batch.edge_weight, batch.edge_mask,
             batch.node_mask, batch.num_nodes, self.delta)
         w = jnp.where(m, w, 0.0)
-        x = nn.Dense(self.in_channels)(batch.x)
+        impl = self.mp_impl
+        if impl == "auto":
+            impl = ("dense" if batch.num_graphs * batch.max_nodes ** 2
+                    <= _DENSE_BUDGET else "sparse")
         a_mp = resolve_activation(self.mp_act)
-        for i, width in enumerate(self.mp_units):
-            # GCNConv(normalize=False) over P: x' = P·(X W) + b — PyG puts
-            # the bias AFTER propagation (GCNConv.forward), so P·b never
-            # appears.
-            h = nn.Dense(width, use_bias=False)(x)
-            h = spmm(s, r, w, h, batch.num_nodes)
-            b = self.param(f"mp_bias_{i}", nn.initializers.zeros, (width,))
-            x = a_mp(h + b)
+        x = nn.Dense(self.in_channels)(batch.x)
+        if impl == "dense":
+            B, Nm = batch.num_graphs, batch.max_nodes
+            ng, np_ = batch.node_graph, batch.node_pos
+            g = ng[s]
+            # padding entries carry w=0 and .add-combine — never corrupt a
+            # real cell (cf. graph.py:228-229 padding aliasing)
+            # row = receiver: einsum's out[b,n] = Σ_m P[b,n,m]·x[b,m] must
+            # equal spmm's out[r] = Σ_{e: recv=r} w_e·x[send_e]
+            P = jnp.zeros((B, Nm, Nm), w.dtype).at[g, np_[r], np_[s]].add(w)
+            x = jnp.zeros((B, Nm, x.shape[-1]), x.dtype).at[ng, np_].add(
+                jnp.where(batch.node_mask[:, None], x, 0.0))
+            for i, width in enumerate(self.mp_units):
+                h = nn.Dense(width, use_bias=False)(x)
+                h = jnp.einsum("bnm,bmf->bnf", P, h)
+                b = self.param(f"mp_bias_{i}", nn.initializers.zeros,
+                               (width,))
+                x = a_mp(h + b)
+        else:
+            for i, width in enumerate(self.mp_units):
+                # GCNConv(normalize=False) over P: x' = P·(X W) + b — PyG
+                # puts the bias AFTER propagation (GCNConv.forward), so P·b
+                # never appears.
+                h = nn.Dense(width, use_bias=False)(x)
+                h = spmm(s, r, w, h, batch.num_nodes)
+                b = self.param(f"mp_bias_{i}", nn.initializers.zeros,
+                               (width,))
+                x = a_mp(h + b)
         a_mlp = resolve_activation(self.mlp_act)
         for width in self.mlp_units:
             x = a_mlp(nn.Dense(width)(x))
         score = nn.Dense(1)(x)
-        return resolve_activation(self.act)(score[:, 0])
+        score = resolve_activation(self.act)(score[..., 0])
+        if impl == "dense":
+            score = score[batch.node_graph, batch.node_pos]
+        return score
 
 
 class MaxCutSelect(nn.Module):
@@ -74,6 +107,7 @@ class MaxCutSelect(nn.Module):
     delta: float = 2.0
     min_score: Optional[float] = None
     s_inv_op: str = "transpose"
+    mp_impl: str = "auto"  # 'auto' | 'dense' | 'sparse'
 
     @nn.compact
     def __call__(self, batch: GraphBatch) -> SelectOutput:
@@ -81,6 +115,7 @@ class MaxCutSelect(nn.Module):
             in_channels=self.in_channels, mp_units=self.mp_units,
             mp_act=self.mp_act, mlp_units=self.mlp_units,
             mlp_act=self.mlp_act, act=self.act, delta=self.delta,
+            mp_impl=self.mp_impl,
         )(batch)
         scores = jnp.where(batch.node_mask, scores, 0.0)
         so = topk_select_from_scores(
