@@ -308,3 +308,40 @@ def test_assign_all_nodes_random_fallback():
     out_b = assign_all_nodes(so, b.senders, b.receivers, b.edge_mask,
                              max_iter=1, key=jax.random.key(0))
     np.testing.assert_array_equal(ci2, np.asarray(out_b.cluster_index))
+
+
+def test_assign_all_nodes_dense_matches_sparse():
+    """The MXU one-hot-matmul propagation (``impl='dense'``) reproduces the
+    lexsort voting path exactly on coalesced graphs, including the
+    (max count, then smallest cluster id) tie-break."""
+    from tgp_tpu.ops.assignment import assign_all_nodes
+    from tgp_tpu.select.base import cluster_to_select_output
+
+    for seed in range(4):
+        b = make_batch([13, 9, 17], p=0.25, seed=seed * 11, pad_nodes=48,
+                       pad_edges=160)
+        rng = np.random.default_rng(seed)
+        N = b.num_nodes
+        nm = np.asarray(b.node_mask)
+        ng = np.asarray(b.node_graph)
+        # seed a partial selection: ~1/3 of each graph's nodes, cluster id =
+        # global node id (so several clusters per graph, distinct ids)
+        sel = nm & (rng.random(N) < 0.34)
+        for g in range(3):  # guarantee >=1 seed per graph
+            idx = np.nonzero(nm & (ng == g))[0]
+            sel[idx[0]] = True
+        ci = np.where(sel, np.arange(N), 0).astype(np.int64)
+        so = cluster_to_select_output(
+            jnp.asarray(ci), b, node_sel_mask=jnp.asarray(sel),
+            num_clusters=N, max_clusters=b.max_nodes, partial=True)
+        outs = {}
+        for impl in ("sparse", "dense"):
+            outs[impl] = assign_all_nodes(
+                so, b.senders, b.receivers, b.edge_mask, max_iter=3,
+                node_pos=b.node_pos, max_nodes=b.max_nodes, impl=impl)
+        ci_s = np.asarray(outs["sparse"].cluster_index)[nm]
+        ci_d = np.asarray(outs["dense"].cluster_index)[nm]
+        np.testing.assert_array_equal(ci_s, ci_d)
+        np.testing.assert_array_equal(
+            np.asarray(outs["sparse"].node_sel_mask),
+            np.asarray(outs["dense"].node_sel_mask))

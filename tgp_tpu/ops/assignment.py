@@ -73,9 +73,67 @@ def propagate_assignments_step(cluster_index, assigned, senders, receivers,
     return new_cluster, new_assigned
 
 
+def _propagate_assignments_dense(so, senders, receivers, edge_mask, node_pos,
+                                 max_nodes: int, max_iter: int):
+    """``max_iter`` majority-vote rounds in per-graph dense layout.
+
+    The sparse step pays two ``E``-length lexsorts plus scatters per round;
+    here vote counting is ONE batched one-hot matmul on the MXU —
+    ``counts[b,j,c] = Σ_i valid[b,i,j]·onehot(cluster)[b,i,c]`` — and the
+    argmax over ``c`` reproduces the (max count, then smallest cluster id)
+    tie-break exactly, because clusters are indexed by their per-graph
+    ascending-global-id rank.  Same semantics, zero scatters per round.
+    Requires coalesced edges (duplicate directed edges collapse to one vote;
+    the sparse path would count them separately).
+
+    Returns the updated packed ``(cluster_index, assigned)``.
+    """
+    from tgp_tpu.ops.segment import segment_topk_rank
+
+    C = so.num_clusters
+    B, Nm, Km = so.num_graphs, max_nodes, so.max_clusters
+    ng = so.node_graph
+
+    # cluster ↔ per-graph ascending-global-id rank (the tie-break order)
+    c_rank = segment_topk_rank(-jnp.arange(C, dtype=jnp.float32),
+                               so.cluster_graph, B)
+    c_rank = jnp.clip(c_rank, 0, Km - 1)
+    table = jnp.full((B, Km), 0, jnp.int32).at[so.cluster_graph, c_rank].max(
+        jnp.arange(C, dtype=jnp.int32))
+
+    g_e = ng[senders]
+    A = jnp.zeros((B, Nm, Nm), bool).at[
+        g_e, node_pos[senders], node_pos[receivers]].max(edge_mask)
+    # padding rows alias cell [B-1, Nm-1] (graph.py:228-229): they carry
+    # False/0 and max-combine, never clobbering a real node
+    asg_d = jnp.zeros((B, Nm), bool).at[ng, node_pos].max(so.node_sel_mask)
+    cl0 = jnp.where(so.node_sel_mask,
+                    c_rank[jnp.clip(so.cluster_index, 0, C - 1)], 0)
+    cl_d = jnp.zeros((B, Nm), jnp.int32).at[ng, node_pos].max(cl0)
+
+    for _ in range(max_iter):
+        valid = A & asg_d[:, :, None] & ~asg_d[:, None, :]
+        oh = jax.nn.one_hot(cl_d, Km, dtype=jnp.float32) * asg_d[..., None]
+        counts = jnp.einsum("bij,bic->bjc", valid.astype(jnp.float32), oh)
+        best_c = jnp.argmax(counts, axis=-1).astype(jnp.int32)
+        has_vote = counts.max(axis=-1) > 0
+        changed = has_vote & ~asg_d
+        cl_d = jnp.where(changed, best_c, cl_d)
+        asg_d = asg_d | changed
+
+    new_assigned = asg_d[ng, node_pos] & so.node_mask
+    global_c = table[ng, jnp.clip(cl_d[ng, node_pos], 0, Km - 1)]
+    changed = new_assigned & ~so.node_sel_mask
+    cluster_index = jnp.where(changed, global_c, so.cluster_index)
+    return cluster_index, so.node_sel_mask | changed
+
+
 def assign_all_nodes(so, senders, receivers, edge_mask, *,
                      max_iter: int = 5, weight: Optional[jax.Array] = None,
-                     key: Optional[jax.Array] = None):
+                     key: Optional[jax.Array] = None,
+                     node_pos: Optional[jax.Array] = None,
+                     max_nodes: Optional[int] = None,
+                     impl: str = "auto"):
     """Upgrade a partial :class:`~tgp_tpu.select.SelectOutput` to a total
     assignment (reference: ``SelectOutput.assign_all_nodes``,
     tgp/select/base_select.py:381-486).
@@ -87,13 +145,28 @@ def assign_all_nodes(so, senders, receivers, edge_mask, *,
     (lowest-id) occupied supernode (deterministic default — reproducible
     under jit without an rng plumb-through).  ``weight`` replaces the
     per-node assignment weight (MaxCut passes its scores).
+
+    ``impl`` picks the propagation engine: ``'sparse'`` = per-round lexsort
+    voting; ``'dense'`` = batched one-hot matmul voting (needs ``node_pos`` +
+    ``max_nodes`` and coalesced edges); ``'auto'`` = dense when the layout is
+    given and ``B·Nmax²`` fits the dense budget.
     """
-    cluster_index = so.cluster_index
-    assigned = so.node_sel_mask
-    for _ in range(max_iter):
-        cluster_index, assigned = propagate_assignments_step(
-            cluster_index, assigned, senders, receivers, edge_mask,
-            so.num_clusters)
+    use_dense = False
+    if node_pos is not None and max_nodes is not None and impl != "sparse":
+        from tgp_tpu.select.edge_contraction import _DENSE_BUDGET
+
+        use_dense = impl == "dense" or (
+            so.num_graphs * max_nodes ** 2 <= _DENSE_BUDGET)
+    if use_dense:
+        cluster_index, assigned = _propagate_assignments_dense(
+            so, senders, receivers, edge_mask, node_pos, max_nodes, max_iter)
+    else:
+        cluster_index = so.cluster_index
+        assigned = so.node_sel_mask
+        for _ in range(max_iter):
+            cluster_index, assigned = propagate_assignments_step(
+                cluster_index, assigned, senders, receivers, edge_mask,
+                so.num_clusters)
 
     occupied = segment_sum(
         jnp.ones_like(cluster_index), cluster_index, so.num_clusters,

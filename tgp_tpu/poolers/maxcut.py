@@ -35,6 +35,10 @@ class MaxCutPooling(SRCPooling):
     remove_self_loops: bool = True
     degree_norm: bool = False
     edge_weight_norm: bool = False
+    #: propagation engine for the ScoreNet δ-GCN rounds AND the
+    #: assign-all-nodes voting: 'dense' = batched matmuls on the MXU,
+    #: 'sparse' = scatter/lexsort, 'auto' = dense under the B·Nmax² budget
+    mp_impl: str = "auto"
 
     IS_TRAINABLE = True
     HAS_LOSS = True
@@ -46,6 +50,7 @@ class MaxCutPooling(SRCPooling):
             mp_units=self.mp_units, mp_act=self.mp_act,
             mlp_units=self.mlp_units, mlp_act=self.mlp_act,
             delta=self.delta, s_inv_op=self.s_inv_op,
+            mp_impl=self.mp_impl,
         )
 
     def __call__(self, batch: GraphBatch, *, so: Optional[SelectOutput] = None,

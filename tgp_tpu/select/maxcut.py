@@ -123,5 +123,7 @@ class MaxCutSelect(nn.Module):
         if self.do_assign_all_nodes:
             so = assign_all_nodes(
                 so, batch.senders, batch.receivers, batch.edge_mask,
-                max_iter=self.max_iter, weight=scores)
+                max_iter=self.max_iter, weight=scores,
+                node_pos=batch.node_pos, max_nodes=batch.max_nodes,
+                impl=self.mp_impl)
         return so.with_extra(scores=scores)
