@@ -126,6 +126,9 @@ class DenseTopkClassifier(nn.Module):
     #: selection, padding rows are never gathered, and the readout is
     #: masked — saves 2 full [B,N,F] HBM passes per layer)
     fast_masks: bool = True
+    #: route the adjacency matmul through the Pallas batched-GEMM kernel
+    #: (ops/pallas/bmm.py) — XLA's bmm runs ~10x under roofline here
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, dense: DenseGraphBatch) -> Tuple[jax.Array, DenseGraphBatch]:
@@ -136,6 +139,7 @@ class DenseTopkClassifier(nn.Module):
             x = nn.relu(GCNConv(self.hidden,
                                 normalize=not self.pre_normalized,
                                 mask_output=not self.fast_masks,
+                                use_pallas=self.use_pallas,
                                 dtype=self.compute_dtype)(dense, x))
         dense = DenseGraphBatch(x=x, adj=dense.adj, mask=dense.mask)
 
@@ -155,6 +159,7 @@ class DenseTopkClassifier(nn.Module):
             h = nn.relu(GCNConv(self.hidden,
                                 normalize=self.post_normalize,
                                 mask_output=not self.fast_masks,
+                                use_pallas=self.use_pallas,
                                 dtype=self.compute_dtype)(pooled, h))
         z = global_reduce(h.astype(jnp.float32), mask=pooled.mask,
                           op=self.readout)

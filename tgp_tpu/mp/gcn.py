@@ -101,9 +101,17 @@ class GCNConv(nn.Module):
                 deg = jnp.clip(jnp.abs(adj).sum(-1), 1e-12, None)
                 dinv = jax.lax.rsqrt(deg)
                 adj = dinv[..., :, None] * adj * dinv[..., None, :]
-            acc_dtype = jnp.float32 if self.dtype is None else h.dtype
-            out = jnp.einsum("bnm,bmf->bnf", adj, h.astype(adj.dtype),
-                             preferred_element_type=acc_dtype)
+            if self.use_pallas:
+                # XLA's batched GEMM runs ~10x under roofline at these
+                # shapes (see ops/pallas/bmm.py); bf16 MXU + f32 accum
+                from tgp_tpu.ops.pallas.bmm import bmm_pallas
+
+                out = bmm_pallas(adj, h,
+                                 interpret=jax.default_backend() == "cpu")
+            else:
+                acc_dtype = jnp.float32 if self.dtype is None else h.dtype
+                out = jnp.einsum("bnm,bmf->bnf", adj, h.astype(adj.dtype),
+                                 preferred_element_type=acc_dtype)
             if self.mask_output:
                 out = jnp.where(batch.mask[..., None], out, 0.0)
         else:
