@@ -147,7 +147,7 @@ def test_global_reduce_sparse_ops(batch):
                                        atol=1e-5, err_msg=op)
     with pytest.raises(ValueError):
         global_reduce(batch.x, node_graph=batch.node_graph, num_graphs=2,
-                      op="min")
+                      op="median")
 
 
 # ----------------------------------------------------------------- sampling

@@ -32,7 +32,11 @@ def _run(alias):
     for name, v in out.loss.items():
         rec[f"loss_{name}"] = np.asarray(v)
     if out.so.is_sparse:
-        rec["cluster_index"] = np.asarray(out.so.cluster_index)
+        # padding nodes' assignment is arbitrary (changes with the MIS/
+        # matching implementation) — pin them to -1 before comparing
+        mask = np.asarray(b.node_mask)
+        rec["cluster_index"] = np.where(
+            mask, np.asarray(out.so.cluster_index), -1)
     return rec
 
 

@@ -9,7 +9,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from tgp_tpu.ops.segment import segment_max, segment_mean, segment_sum
+from tgp_tpu.ops.segment import (segment_max, segment_mean,
+                                 segment_min, segment_sum)
 
 __all__ = ["global_reduce"]
 
@@ -31,11 +32,17 @@ def global_reduce(x: jax.Array, *, node_graph: Optional[jax.Array] = None,
             return s / c
         if op == "max":
             return jnp.max(jnp.where(m, x, -jnp.inf), axis=1)
+        if op == "min":
+            return jnp.min(jnp.where(m, x, jnp.inf), axis=1)
         raise ValueError(f"unknown op {op!r}")
+    if node_mask is None:
+        node_mask = mask  # accept either spelling in sparse mode
     if op == "sum":
         return segment_sum(x, node_graph, num_graphs, mask=node_mask)
     if op == "mean":
         return segment_mean(x, node_graph, num_graphs, mask=node_mask)
     if op == "max":
         return segment_max(x, node_graph, num_graphs, mask=node_mask)
+    if op == "min":
+        return segment_min(x, node_graph, num_graphs, mask=node_mask)
     raise ValueError(f"unknown op {op!r}")
