@@ -23,7 +23,7 @@ N_PER = 256      # nodes per graph
 P_EDGE = 0.03    # ER density
 F = 128          # feature width
 HIDDEN = 128
-STEPS = 30
+STEPS = 100      # long enough that device time per call dwarfs tunnel RTT
 
 
 def make_graphs(seed=0):
@@ -117,15 +117,28 @@ def _timed_scan(make_one_step, carry, data, y):
     run_s = jax.jit(functools.partial(run, STEPS))
     p, o = carry
     jax.block_until_ready(run_s(p, o, data, y)[-1])  # compile + warm
-    t0 = time.perf_counter()
-    jax.block_until_ready(run_s(p, o, data, y)[-1])
-    t_one = time.perf_counter() - t0
+
+    def median(f, n=5):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            f()
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[n // 2]
+
+    t_one = median(
+        lambda: jax.block_until_ready(run_s(p, o, data, y)[-1]))
     reps = 4
-    t0 = time.perf_counter()
-    outs = [run_s(p, o, data, y)[-1] for _ in range(reps)]  # queued
-    jax.block_until_ready(outs)
-    t_many = time.perf_counter() - t0
-    return max(t_many - t_one, 1e-9) / ((reps - 1) * STEPS)
+
+    def many():
+        outs = [run_s(p, o, data, y)[-1] for _ in range(reps)]  # queued
+        jax.block_until_ready(outs)
+
+    t_many = median(many)
+    diff = t_many - t_one
+    if diff <= 0:  # tunnel jitter ate the signal — fall back to the
+        return t_many / (reps * STEPS)  # all-inclusive upper bound
+    return diff / ((reps - 1) * STEPS)
 
 
 def bench_jax_sparse(graphs, labels):
