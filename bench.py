@@ -116,7 +116,12 @@ def _timed_scan(make_one_step, carry, data, y):
 
     run_s = jax.jit(functools.partial(run, STEPS))
     p, o = carry
-    jax.block_until_ready(run_s(p, o, data, y)[-1])  # compile + warm
+    # CRITICAL (round-2 finding, scripts/exp_bench_timing.py): on the axon
+    # backend ``jax.block_until_ready`` is NOT an execution barrier — 100
+    # train steps "complete" in <10 ms under it.  The only real sync is a
+    # device→host transfer, so every timed region ends in ``float(loss)``.
+    # This is also why round-1's numbers (623–715 M edges/s) were inflated.
+    float(run_s(p, o, data, y)[-1])  # compile + warm
 
     def median(f, n=5):
         ts = []
@@ -126,13 +131,12 @@ def _timed_scan(make_one_step, carry, data, y):
             ts.append(time.perf_counter() - t0)
         return sorted(ts)[n // 2]
 
-    t_one = median(
-        lambda: jax.block_until_ready(run_s(p, o, data, y)[-1]))
+    t_one = median(lambda: float(run_s(p, o, data, y)[-1]))
     reps = 4
 
     def many():
         outs = [run_s(p, o, data, y)[-1] for _ in range(reps)]  # queued
-        jax.block_until_ready(outs)
+        return float(outs[-1])
 
     t_many = median(many)
     diff = t_many - t_one

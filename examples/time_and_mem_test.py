@@ -58,20 +58,25 @@ def bench_pooler(alias, batch, iters=10):
         fwd_ms = (time.perf_counter() - t0) / iters * 1e3
         return BenchmarkResult(alias, fwd_ms, float("nan"), None)
 
+    # NOTE: on the axon backend ``block_until_ready`` is NOT an execution
+    # barrier (scripts/exp_bench_timing.py) — sync through a device→host
+    # scalar transfer instead.
     jfwd = jax.jit(fwd)
-    jgrad = jax.jit(jax.grad(fwd))
-    jax.block_until_ready(jfwd(params, batch))  # compile
+    jgrad = jax.jit(lambda p, b: jax.tree.reduce(
+        lambda a, l: a + jnp.sum(l.astype(jnp.float32) ** 2),
+        jax.grad(fwd)(p, b), jnp.float32(0)))
+    float(jfwd(params, batch))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = jfwd(params, batch)
-    jax.block_until_ready(out)
+    for _ in range(iters - 1):
+        jfwd(params, batch)
+    float(jfwd(params, batch))
     fwd_ms = (time.perf_counter() - t0) / iters * 1e3
 
-    jax.block_until_ready(jgrad(params, batch))
+    float(jgrad(params, batch))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        g = jgrad(params, batch)
-    jax.block_until_ready(g)
+    for _ in range(iters - 1):
+        jgrad(params, batch)
+    float(jgrad(params, batch))
     bwd_ms = (time.perf_counter() - t0) / iters * 1e3
 
     stats = jax.local_devices()[0].memory_stats() or {}
@@ -81,7 +86,7 @@ def bench_pooler(alias, batch, iters=10):
 
 
 def main(sizes=(50, 200), batch_size=4, num_features=16,
-         profile_dir: str | None = None):
+         profile_dir: str | None = None, poolers=None):
     """Set ``profile_dir`` (or pass ``--profile``) to capture a
     ``jax.profiler`` trace of the benchmark for xprof/tensorboard."""
     if profile_dir:
@@ -93,15 +98,16 @@ def main(sizes=(50, 200), batch_size=4, num_features=16,
         loader = GraphLoader(graphs, batch_size=batch_size)
         batch = next(iter(loader))
         print(f"== N={n} x {batch_size} graphs "
-              f"(E={int(np.asarray(batch.edge_mask).sum())}) ==")
-        for alias in POOLERS_TIMED:
+              f"(E={int(np.asarray(batch.edge_mask).sum())}) ==", flush=True)
+        for alias in poolers or POOLERS_TIMED:
             try:
                 r = bench_pooler(alias, batch)
                 mem = f" mem={r.device_mem_mb:.0f}MB" if r.device_mem_mb else ""
                 print(f"  {alias:10s} fwd {r.fwd_ms:8.2f}ms  "
-                      f"fwd+bwd {r.fwd_bwd_ms:8.2f}ms{mem}")
+                      f"fwd+bwd {r.fwd_bwd_ms:8.2f}ms{mem}", flush=True)
             except Exception as exc:
-                print(f"  {alias:10s} FAILED: {type(exc).__name__}: {exc}")
+                print(f"  {alias:10s} FAILED: {type(exc).__name__}: {exc}",
+                      flush=True)
     if profile_dir:
         jax.profiler.stop_trace()
         print(f"profiler trace written to {profile_dir}")
@@ -110,5 +116,7 @@ def main(sizes=(50, 200), batch_size=4, num_features=16,
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     profile = "--profile" in sys.argv
-    sizes = tuple(int(s) for s in args) or (50, 200)
-    main(sizes, profile_dir="/tmp/tgp_profile" if profile else None)
+    poolers = [a for a in args if not a.isdigit()] or None
+    sizes = tuple(int(s) for s in args if s.isdigit()) or (50, 200)
+    main(sizes, profile_dir="/tmp/tgp_profile" if profile else None,
+         poolers=poolers)

@@ -65,13 +65,18 @@ def run(N=16384, E=262144, F=128):
                      ("xla_sorted", spmm_xla_sorted),
                      ("pallas", spmm_pallas),
                      ("pallas_bf16", spmm_pallas_fast)):
-        f = jax.jit(lambda x0, fn=fn: chain(fn, x0))
-        out = f(xj)
-        jax.block_until_ready(out)
+        # sync via a scalar host transfer — block_until_ready is NOT an
+        # execution barrier on axon (scripts/exp_bench_timing.py)
+        f = jax.jit(lambda x0, fn=fn: jnp.sum(chain(fn, x0)))
+        float(f(xj))  # compile + warm
         t0 = time.perf_counter()
-        out = f(xj)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / ITERS
+        float(f(xj))
+        t_one = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        outs = [f(xj) for _ in range(4)]
+        float(outs[-1])
+        t_four = time.perf_counter() - t0
+        dt = max(t_four - t_one, 1e-9) / (3 * ITERS)
         gedges = E / dt / 1e9
         results[name] = dt
         print(f"{name:12s}: {dt*1e3:7.3f} ms/iter  {gedges:6.2f} Gedge/s  "
