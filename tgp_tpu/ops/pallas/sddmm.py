@@ -17,8 +17,19 @@ two contiguous window DMAs per edge chunk:
     B_rows[e, f] = Σ_w 1[recv_e == b_base+w] · b_win[w, f]   (MXU)
     out[e]       = Σ_f A_rows · B_rows                        (VPU)
 
-Out-of-window ids contribute ZERO silently — validate the layout with
-``check_band_contract`` (both axes) in loaders/tests.
+Mosaic requires VMEM blocks with sublane dim ≥8, so each grid step owns an
+``[8, BE]`` group of edge chunks (metadata, output) and walks its 8
+sub-chunks with double-buffered window DMAs.  Out-of-window ids contribute
+ZERO silently — validate the layout with ``check_band_contract`` (both
+axes) in loaders/tests.
+
+Precision: the per-edge result is a cancelling dot of two gathered value
+rows, so ``Precision.DEFAULT`` (bf16 operand truncation) yields ~1e-2 abs
+error that is UNBOUNDED in relative terms near zero — unlike the SpMM
+kernel, where one-hot selection is exact.  The default here is therefore
+``HIGHEST`` (measured 3.7e-5 max rel err on TPU vs 1.3 for DEFAULT);
+pass ``precision=jax.lax.Precision.DEFAULT`` to trade accuracy for MXU
+throughput when the downstream use is a robust scalar loss.
 """
 
 from __future__ import annotations
@@ -32,53 +43,73 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["banded_sddmm_pallas", "sddmm_banded"]
 
+_GROUP = 8  # chunks per grid step (Mosaic sublane granularity)
+
 
 def _kernel(a_base_ref, b_base_ref, send_ref, recv_ref, a_hbm, b_hbm,
             out_ref, *, block_edges, window, precision):
-    c = pl.program_id(0)
-    a_base = a_base_ref[c]
-    b_base = b_base_ref[c]
+    g = pl.program_id(0)
 
     def body(a_win, b_win, sems):
-        pltpu.make_async_copy(
-            a_hbm.at[pl.ds(a_base, window), :], a_win, sems.at[0]).start()
-        pltpu.make_async_copy(
-            b_hbm.at[pl.ds(b_base, window), :], b_win, sems.at[1]).start()
+        def dma(slot, j):
+            c = g * _GROUP + j
+            return (
+                pltpu.make_async_copy(
+                    a_hbm.at[pl.ds(a_base_ref[c], window), :],
+                    a_win.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    b_hbm.at[pl.ds(b_base_ref[c], window), :],
+                    b_win.at[slot], sems.at[slot, 1]),
+            )
 
-        send = send_ref[0:1, :]  # [1, BE] int32
-        recv = recv_ref[0:1, :]
-        iota_a = a_base + jax.lax.broadcasted_iota(
-            jnp.int32, (window, block_edges), 0)
-        iota_b = b_base + jax.lax.broadcasted_iota(
-            jnp.int32, (window, block_edges), 0)
-        oh_a = (send == iota_a).astype(jnp.float32)  # [window, BE]
-        oh_b = (recv == iota_b).astype(jnp.float32)
+        for d in dma(0, 0):
+            d.start()
 
-        pltpu.make_async_copy(
-            a_hbm.at[pl.ds(a_base, window), :], a_win, sems.at[0]).wait()
-        pltpu.make_async_copy(
-            b_hbm.at[pl.ds(b_base, window), :], b_win, sems.at[1]).wait()
+        sub = jax.lax.broadcasted_iota(jnp.int32, (_GROUP, block_edges), 0)
+        acc = jnp.zeros((_GROUP, block_edges), jnp.float32)
+        for j in range(_GROUP):
+            slot = j % 2
+            if j + 1 < _GROUP:
+                for d in dma((j + 1) % 2, j + 1):
+                    d.start()
+            for d in dma(slot, j):
+                d.wait()
 
-        a_rows = jax.lax.dot_general(
-            oh_a, a_win[:], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision)
-        b_rows = jax.lax.dot_general(
-            oh_b, b_win[:], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision)
-        out_ref[0, :] = jnp.sum(a_rows * b_rows, axis=-1)
+            c = g * _GROUP + j
+            # select sub-chunk row j out of the [8, BE] id blocks
+            send = jnp.sum(jnp.where(sub == j, send_ref[:], 0), axis=0,
+                           keepdims=True)  # [1, BE]
+            recv = jnp.sum(jnp.where(sub == j, recv_ref[:], 0), axis=0,
+                           keepdims=True)
+            iota_a = a_base_ref[c] + jax.lax.broadcasted_iota(
+                jnp.int32, (window, block_edges), 0)
+            iota_b = b_base_ref[c] + jax.lax.broadcasted_iota(
+                jnp.int32, (window, block_edges), 0)
+            oh_a = (send == iota_a).astype(jnp.float32)  # [window, BE]
+            oh_b = (recv == iota_b).astype(jnp.float32)
+
+            a_rows = jax.lax.dot_general(
+                oh_a, a_win[slot], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+            b_rows = jax.lax.dot_general(
+                oh_b, b_win[slot], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+            row = jnp.sum(a_rows * b_rows, axis=-1)  # [BE]
+            acc = jnp.where(sub == j, row[None, :], acc)
+        out_ref[:] = acc
 
     pl.run_scoped(
         body,
-        a_win=pltpu.VMEM((window, a_hbm.shape[-1]), jnp.float32),
-        b_win=pltpu.VMEM((window, b_hbm.shape[-1]), jnp.float32),
-        sems=pltpu.SemaphoreType.DMA((2,)),
+        a_win=pltpu.VMEM((2, window, a_hbm.shape[-1]), jnp.float32),
+        b_win=pltpu.VMEM((2, window, b_hbm.shape[-1]), jnp.float32),
+        sems=pltpu.SemaphoreType.DMA((2, 2)),
     )
 
 
 def banded_sddmm_pallas(a: jax.Array, b: jax.Array, senders: jax.Array,
                         receivers: jax.Array, *, window: int = 512,
                         block_edges: int = 512,
-                        precision=jax.lax.Precision.DEFAULT,
+                        precision=jax.lax.Precision.HIGHEST,
                         interpret: bool = False) -> jax.Array:
     """``out[e] = ⟨a[senders[e]], b[receivers[e]]⟩`` for banded edge lists.
 
@@ -93,6 +124,7 @@ def banded_sddmm_pallas(a: jax.Array, b: jax.Array, senders: jax.Array,
     assert block_edges % 128 == 0 and window % 8 == 0
 
     n_chunks = max((E + block_edges - 1) // block_edges, 1)
+    n_chunks = ((n_chunks + _GROUP - 1) // _GROUP) * _GROUP
     E_pad = n_chunks * block_edges
 
     def pad_ids(ids, n):
@@ -127,16 +159,17 @@ def banded_sddmm_pallas(a: jax.Array, b: jax.Array, senders: jax.Array,
                           precision=precision),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(n_chunks,),
+            grid=(n_chunks // _GROUP,),
             in_specs=[
-                pl.BlockSpec((1, block_edges), lambda i, *_: (i, 0),
+                pl.BlockSpec((_GROUP, block_edges), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),  # send2d
-                pl.BlockSpec((1, block_edges), lambda i, *_: (i, 0),
+                pl.BlockSpec((_GROUP, block_edges), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),  # recv2d
                 pl.BlockSpec(memory_space=pl.ANY),      # a
                 pl.BlockSpec(memory_space=pl.ANY),      # b
             ],
-            out_specs=pl.BlockSpec((1, block_edges), lambda i, *_: (i, 0),
+            out_specs=pl.BlockSpec((_GROUP, block_edges),
+                                   lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((n_chunks, block_edges), jnp.float32),
