@@ -60,12 +60,13 @@ def timed(make_step, carry, dense, y):
     p, o = carry
 
     def t_of(n):
+        # float() sync — block_until_ready is not a barrier on axon
         f = jax.jit(functools.partial(run, n))
-        jax.block_until_ready(f(p, o, dense, y))
+        float(f(p, o, dense, y))
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(f(p, o, dense, y))
+            float(f(p, o, dense, y))
             ts.append(time.perf_counter() - t0)
         return sorted(ts)[1]
 
