@@ -79,14 +79,24 @@ def main(alias: str = "topk", epochs: int = 20, batch_size: int = 32,
                               hidden=hidden)
 
     batch0, y0 = next(iter(train_loader))
-    params = model.init(jax.random.key(seed), batch0)
+    # stochastic poolers (BNPool's reparameterized Beta sampling) draw from
+    # a "sample" PRNG stream — thread it like the reference threads
+    # torch.Generator state
+    needs_sample = alias == "bnpool"
+    init_rngs = {"params": jax.random.key(seed)}
+    if needs_sample:
+        init_rngs["sample"] = jax.random.key(seed + 1)
+    params = model.init(init_rngs, batch0)
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)
 
+    def _rngs(key):
+        return {"sample": key} if needs_sample else None
+
     @jax.jit
-    def train_step(params, opt_state, batch, y):
+    def train_step(params, opt_state, batch, y, key):
         def loss_fn(p):
-            logits, out = model.apply(p, batch)
+            logits, out = model.apply(p, batch, rngs=_rngs(key))
             ce = optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
             return ce + out.loss_sum(), logits
 
@@ -97,16 +107,18 @@ def main(alias: str = "topk", epochs: int = 20, batch_size: int = 32,
         return params, opt_state, loss, acc
 
     @jax.jit
-    def eval_step(params, batch, y):
-        logits, _ = model.apply(params, batch)
+    def eval_step(params, batch, y, key):
+        logits, _ = model.apply(params, batch, rngs=_rngs(key))
         return jnp.argmax(logits, -1) == y
 
     t0 = time.time()
+    key = jax.random.key(seed + 2)
     for epoch in range(epochs):
         losses, accs = [], []
         for batch, y in train_loader:
+            key, sub = jax.random.split(key)
             params, opt_state, loss, acc = train_step(
-                params, opt_state, batch, jnp.asarray(y))
+                params, opt_state, batch, jnp.asarray(y), sub)
             losses.append(float(loss))
             accs.append(float(acc))
         if verbose:
@@ -115,7 +127,9 @@ def main(alias: str = "topk", epochs: int = 20, batch_size: int = 32,
 
     correct = []
     for batch, y in test_loader:
-        correct.append(np.asarray(eval_step(params, batch, jnp.asarray(y))))
+        key, sub = jax.random.split(key)
+        correct.append(np.asarray(
+            eval_step(params, batch, jnp.asarray(y), sub)))
     test_acc = float(np.mean(np.concatenate(correct)))
     if verbose:
         print(f"[{alias}] test acc {test_acc:.3f}  ({time.time()-t0:.1f}s)")
@@ -125,8 +139,9 @@ def main(alias: str = "topk", epochs: int = 20, batch_size: int = 32,
 
         save_params(checkpoint_dir, params)
         restored = restore_params(checkpoint_dir, like=params)
-        logits_a, _ = model.apply(params, batch0)
-        logits_b, _ = model.apply(restored, batch0)
+        ck = _rngs(jax.random.key(123))
+        logits_a, _ = model.apply(params, batch0, rngs=ck)
+        logits_b, _ = model.apply(restored, batch0, rngs=ck)
         assert np.allclose(np.asarray(logits_a), np.asarray(logits_b))
         if verbose:
             print(f"checkpoint round-trip OK → {checkpoint_dir}")

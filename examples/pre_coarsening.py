@@ -18,6 +18,7 @@ from tgp_tpu.datasets.synthetic import SyntheticGraphClassification
 from tgp_tpu.mp.gcn import GCNConv
 from tgp_tpu.precoarsen import PreCoarsening
 from tgp_tpu.reduce.base import base_reduce
+from tgp_tpu.reduce.eigenpool import eigenpool_reduce
 from tgp_tpu.reduce.global_reduce import global_reduce
 
 
@@ -31,7 +32,11 @@ class PrecoarsenedNet(nn.Module):
         h = nn.relu(GCNConv(self.hidden)(batch))
         g = batch
         for lb in level_batches:
-            x_pool = base_reduce(h, lb.so)
+            # eigen levels carry a [N, H·K] Θ and need the mode-major reduce
+            if lb.so.num_modes:
+                x_pool = eigenpool_reduce(h, lb.so)
+            else:
+                x_pool = base_reduce(h, lb.so)
             h = lb.place_features(x_pool)
             g = lb.graph
             h = nn.relu(GCNConv(self.hidden)(g, h))
@@ -45,6 +50,12 @@ def main(schedule: str = "graclus", epochs: int = 15, verbose: bool = True):
         num_graphs=240, num_features=8, seed=11).generate()
     if schedule == "mixed":
         tf = PreCoarsening(poolers=[("ndp", {}), ("graclus", {})])
+    elif schedule == "eigen":
+        # k must shrink level-to-level: pooling a K-node coarse graph into
+        # K singleton clusters zeroes Θ (the reference's singleton-cluster
+        # quirk writes the self-loop weight, eigenpool_select.py:136-139)
+        tf = PreCoarsening(poolers=[("eigen", {"k": 12}),
+                                    ("eigen", {"k": 4})])
     else:
         tf = PreCoarsening(poolers=schedule, levels=2)
     t0 = time.time()

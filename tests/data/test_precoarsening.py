@@ -104,6 +104,17 @@ def test_eigen_loader_reduce():
         assert xp.shape == (2, lb.so.num_clusters,
                             2 * batch.num_features)
         assert np.isfinite(np.asarray(xp)).all()
+        # the collated SelectOutput must also trace: num_modes is static
+        # metadata (an extras leaf would be a tracer under jit)
+        assert lb.so.num_modes == 2
+        xp_jit = jax.jit(eigenpool_reduce)(batch.x, lb.so)
+        np.testing.assert_allclose(np.asarray(xp_jit), np.asarray(xp),
+                                   rtol=1e-5, atol=1e-6)
+        # features must carry signal (a k=K singleton schedule zeroes Θ)
+        assert float(jnp.abs(xp).sum()) > 0
+        # place the reduce output into the pooled node space under jit
+        placed = jax.jit(lambda x, l: l.place_features(x))(xp, lb)
+        assert placed.shape[0] == lb.graph.num_nodes
         break
 
 

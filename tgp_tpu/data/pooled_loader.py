@@ -160,8 +160,10 @@ def collate_level(levels: Sequence[dict], prev_node_offsets: np.ndarray,
             node_graph[o:o + n] = g
             node_mask_prev[o:o + n] = True
         extras = {}
+        num_modes = 0
         if kind == "eigen":
-            extras = {"num_modes": np.int32(levels[0]["num_modes"])}
+            num_modes = int(levels[0]["num_modes"])
+            extras = {"num_modes": np.int32(num_modes)}
         so = SelectOutput(
             s=jnp.asarray(s),
             node_graph=jnp.asarray(node_graph),
@@ -173,6 +175,7 @@ def collate_level(levels: Sequence[dict], prev_node_offsets: np.ndarray,
             max_clusters=K,
             partial=False,
             extras=extras,
+            num_modes=num_modes,
         )
     else:
         raise ValueError(f"unknown level kind {kind!r}")

@@ -14,7 +14,7 @@ __all__ = ["eigenpool_lift"]
 def eigenpool_lift(x_pool: jax.Array, so: SelectOutput) -> jax.Array:
     """``x_pool [B, K, H·F]`` → ``x̃ [N, F]`` over the flat node space."""
     theta = so.s  # [N, H*K]
-    H = int(so.extras["num_modes"])
+    H = so.num_modes or int(so.extras["num_modes"])
     B, K, HF = x_pool.shape
     F = HF // H
     raw = x_pool.reshape(B, K, H, F).transpose(0, 2, 1, 3).reshape(B, H * K, F)

@@ -15,7 +15,7 @@ __all__ = ["eigenpool_reduce"]
 def eigenpool_reduce(x: jax.Array, so: SelectOutput) -> jax.Array:
     """``x [N, F]`` (flat over the batch) → ``[B, K, H·F]``."""
     theta = so.s  # [N, H*K]
-    H = int(so.extras["num_modes"])
+    H = so.num_modes or int(so.extras["num_modes"])
     K = so.num_clusters
     raw = jnp.einsum("nc,nf->ncf", theta, x)
     raw = segment_sum(raw, so.node_graph, so.num_graphs, mask=so.node_mask)

@@ -62,6 +62,10 @@ class SelectOutput:
     max_clusters: int = struct.field(pytree_node=False, default=0)
     s_inv_op: str = struct.field(pytree_node=False, default="transpose")
     partial: bool = struct.field(pytree_node=False, default=False)
+    # EigenPool mode count H (static — ``s`` is a [N, H·K] Θ matrix when >0,
+    # so reduce/lift must do the mode-major reshape even under jit, where an
+    # ``extras`` leaf would be a tracer)
+    num_modes: int = struct.field(pytree_node=False, default=0)
 
     # ------------------------------------------------------------------
     @property
