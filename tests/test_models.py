@@ -64,3 +64,42 @@ def test_classifier_with_dense_pooler(alias, batch):
     assert out.loss  # aux losses surface through the model
     total = out.loss_sum()
     assert np.isfinite(float(total))
+
+
+@pytest.mark.parametrize("dense_path", [False, True])
+def test_remat_gradient_invariance(batch, dense_path):
+    """remat=True must reproduce the exact same loss and gradients as
+    remat=False (jax.checkpoint only changes the backward schedule, never
+    the math) — the HBM-vs-FLOPs knob on deep MP stacks."""
+    if dense_path:
+        from tgp_tpu.graph import to_dense
+        from tgp_tpu.models.fast_dense import DenseTopkClassifier
+
+        d = to_dense(batch)
+        models = [DenseTopkClassifier(num_classes=3, hidden=16, ratio=0.5,
+                                      num_pre_layers=2, num_post_layers=2,
+                                      remat=r) for r in (False, True)]
+        inp = d
+    else:
+        models = [PoolingClassifier(
+            pooler=get_pooler("topk", in_channels=16, ratio=0.5),
+            num_classes=3, hidden=16, num_pre_layers=2, num_post_layers=2,
+            remat=r) for r in (False, True)]
+        inp = batch
+
+    params = models[0].init(jax.random.key(0), inp)
+    y = jnp.zeros(batch.num_graphs, jnp.int32)
+
+    def loss_fn(model, p):
+        logits = model.apply(p, inp)[0]
+        import optax
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, y).mean()
+
+    l0, g0 = jax.value_and_grad(lambda p: loss_fn(models[0], p))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss_fn(models[1], p))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)

@@ -31,12 +31,20 @@ class PoolingClassifier(nn.Module):
     num_post_layers: int = 1
     readout: str = "sum"
     use_pallas: bool = False  # Pallas SpMM on sorted-edge input batches
+    #: rematerialize MP-layer activations in the backward pass
+    #: (jax.checkpoint): trades ~1 extra forward of FLOPs for O(layers)
+    #: less activation HBM — the standard lever for deep stacks / large N
+    remat: bool = False
 
     @nn.compact
     def __call__(self, batch: GraphBatch) -> Tuple[jax.Array, PoolingOutput]:
+        # explicit names keep the param tree identical with/without remat
+        # (nn.remat changes the auto-generated module name)
+        Conv = nn.remat(GCNConv) if self.remat else GCNConv
         x = batch.x
-        for _ in range(self.num_pre_layers):
-            x = nn.relu(GCNConv(self.hidden, use_pallas=self.use_pallas)(batch, x))
+        for i in range(self.num_pre_layers):
+            x = nn.relu(Conv(self.hidden, use_pallas=self.use_pallas,
+                             name=f"pre_conv_{i}")(batch, x))
         batch = batch.with_features(x)
 
         out: PoolingOutput = self.pooler(batch)
@@ -44,8 +52,8 @@ class PoolingClassifier(nn.Module):
         if out.graph is not None:
             pooled = out.graph
             h = pooled.x
-            for _ in range(self.num_post_layers):
-                h = nn.relu(GCNConv(self.hidden)(pooled, h))
+            for i in range(self.num_post_layers):
+                h = nn.relu(Conv(self.hidden, name=f"post_conv_{i}")(pooled, h))
             z = global_reduce(
                 h, node_graph=pooled.node_graph, num_graphs=pooled.num_graphs,
                 node_mask=pooled.node_mask, op=self.readout,
@@ -53,8 +61,8 @@ class PoolingClassifier(nn.Module):
         else:
             pooled = out.dense
             h = pooled.x
-            for _ in range(self.num_post_layers):
-                h = nn.relu(GCNConv(self.hidden)(pooled, h))
+            for i in range(self.num_post_layers):
+                h = nn.relu(Conv(self.hidden, name=f"post_conv_{i}")(pooled, h))
             z = global_reduce(h, mask=pooled.mask, op=self.readout)
 
         z = nn.relu(nn.Dense(self.hidden)(z))

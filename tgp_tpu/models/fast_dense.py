@@ -129,18 +129,23 @@ class DenseTopkClassifier(nn.Module):
     #: route the adjacency matmul through the Pallas batched-GEMM kernel
     #: (ops/pallas/bmm.py) — XLA's bmm runs ~10x under roofline here
     use_pallas: bool = False
+    #: rematerialize MP activations in the backward pass (jax.checkpoint):
+    #: extra forward FLOPs for O(layers) less [B,N,F] activation HBM
+    remat: bool = False
 
     @nn.compact
     def __call__(self, dense: DenseGraphBatch) -> Tuple[jax.Array, DenseGraphBatch]:
+        Conv = nn.remat(GCNConv) if self.remat else GCNConv
         x = dense.x
         if self.compute_dtype is not None:
             x = x.astype(self.compute_dtype)
-        for _ in range(self.num_pre_layers):
-            x = nn.relu(GCNConv(self.hidden,
-                                normalize=not self.pre_normalized,
-                                mask_output=not self.fast_masks,
-                                use_pallas=self.use_pallas,
-                                dtype=self.compute_dtype)(dense, x))
+        for i in range(self.num_pre_layers):
+            x = nn.relu(Conv(self.hidden,
+                             normalize=not self.pre_normalized,
+                             mask_output=not self.fast_masks,
+                             use_pallas=self.use_pallas,
+                             dtype=self.compute_dtype,
+                             name=f"pre_conv_{i}")(dense, x))
         dense = DenseGraphBatch(x=x, adj=dense.adj, mask=dense.mask)
 
         # TopkSelect scoring (reference: tgp/select/topk_select.py:169-199)
@@ -155,12 +160,13 @@ class DenseTopkClassifier(nn.Module):
         pooled = dense_topk_pool(dense, score, self.ratio)
 
         h = pooled.x
-        for _ in range(self.num_post_layers):
-            h = nn.relu(GCNConv(self.hidden,
-                                normalize=self.post_normalize,
-                                mask_output=not self.fast_masks,
-                                use_pallas=self.use_pallas,
-                                dtype=self.compute_dtype)(pooled, h))
+        for i in range(self.num_post_layers):
+            h = nn.relu(Conv(self.hidden,
+                             normalize=self.post_normalize,
+                             mask_output=not self.fast_masks,
+                             use_pallas=self.use_pallas,
+                             dtype=self.compute_dtype,
+                             name=f"post_conv_{i}")(pooled, h))
         z = global_reduce(h.astype(jnp.float32), mask=pooled.mask,
                           op=self.readout)
         z = nn.relu(nn.Dense(self.hidden)(z))
