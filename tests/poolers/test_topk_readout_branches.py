@@ -1,0 +1,100 @@
+"""Topk knob branches and readout edge cases (reference:
+tests/poolers/test_topk.py, tests/reduce/test_global_reduce.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tgp_tpu.poolers import get_pooler
+from tgp_tpu.reduce.global_reduce import global_reduce
+from tests.utils_graphs import make_batch
+
+
+@pytest.fixture(scope="module")
+def batch():
+    return make_batch([9, 6, 12], num_features=6, seed=4, weighted=True,
+                      pad_nodes=32, pad_edges=160)
+
+
+@pytest.mark.parametrize("act", ["tanh", "sigmoid", None])
+def test_topk_act_variants(batch, act):
+    pooler = get_pooler("topk", in_channels=6, ratio=0.5, act=act)
+    params = pooler.init(jax.random.key(0), batch)
+    out = pooler.apply(params, batch)
+    assert np.isfinite(np.asarray(out.graph.x)).all()
+    w = np.asarray(out.so.weight)
+    nm = np.asarray(out.so.node_sel_mask)
+    if act == "sigmoid":
+        assert (w[nm] > 0).all() and (w[nm] < 1).all()
+    elif act == "tanh":
+        assert (np.abs(w[nm]) < 1).all()
+
+
+def test_topk_multiplier_scales_features(batch):
+    p1 = get_pooler("topk", in_channels=6, ratio=0.5, multiplier=1.0)
+    params = p1.init(jax.random.key(0), batch)
+    x1 = np.asarray(p1.apply(params, batch).graph.x)
+    p2 = get_pooler("topk", in_channels=6, ratio=0.5, multiplier=2.0)
+    x2 = np.asarray(p2.apply(params, batch).graph.x)
+    np.testing.assert_allclose(x2, 2 * x1, rtol=1e-6)
+
+
+def test_topk_min_score_softmax_scores_sum_to_one(batch):
+    """min_score mode scores via per-graph softmax
+    (reference topk_select.py:169-207): kept weights are softmax values."""
+    pooler = get_pooler("topk", in_channels=6, min_score=0.05)
+    params = pooler.init(jax.random.key(0), batch)
+    so = pooler.apply(params, batch).so
+    w = np.asarray(so.weight)
+    ng = np.asarray(so.node_graph)
+    nm = np.asarray(so.node_mask)
+    # per-graph softmax over ALL valid nodes sums to 1; the kept subset
+    # sums to ≤ 1 and every kept weight clears the threshold rule
+    sel = np.asarray(so.node_sel_mask)
+    for g in range(batch.num_graphs):
+        kept = w[sel & (ng == g)]
+        assert kept.size >= 1  # threshold is clamped below the per-graph max
+        assert kept.sum() <= 1.0 + 1e-5
+
+
+def test_global_reduce_all_masked_graph_keeps_batch_row():
+    """A graph whose mask is all-False still yields a (zero / neutral)
+    readout row — batch size is preserved (reference
+    test_readout_dense_mask_all_false_preserves_batch_size)."""
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 5, 3)).astype(np.float32))
+    mask = jnp.asarray([[True, True, False, False, False],
+                        [False, False, False, False, False]])
+    for op in ("sum", "mean", "max", "min"):
+        z = global_reduce(x, mask=mask, op=op)
+        assert z.shape == (2, 3)
+        assert np.isfinite(np.asarray(z)).all(), op
+    np.testing.assert_allclose(
+        np.asarray(global_reduce(x, mask=mask, op="sum"))[1], 0.0)
+
+
+def test_global_reduce_sparse_single_graph():
+    x = jnp.asarray(np.random.default_rng(1).normal(
+        size=(7, 3)).astype(np.float32))
+    ng = jnp.zeros(7, jnp.int32)
+    z = global_reduce(x, node_graph=ng, num_graphs=1, op="mean")
+    np.testing.assert_allclose(np.asarray(z)[0], np.asarray(x).mean(0),
+                               rtol=1e-5)
+
+
+def test_aggr_readout_mode(batch):
+    """AggrReduce with so=None acts as a one-supernode-per-graph readout
+    (reference aggr_reduce.py:33-156)."""
+    from tgp_tpu.reduce.aggr import AggrReduce
+
+    red = AggrReduce(aggr="mean")
+    z = red.apply({}, batch.x, None, node_graph=batch.node_graph,
+                  num_graphs=batch.num_graphs, node_mask=batch.node_mask)
+    assert z.shape == (batch.num_graphs, batch.num_features)
+    x = np.asarray(batch.x)
+    nm = np.asarray(batch.node_mask)
+    ng = np.asarray(batch.node_graph)
+    for g in range(batch.num_graphs):
+        np.testing.assert_allclose(np.asarray(z)[g],
+                                   x[nm & (ng == g)].mean(0), rtol=1e-5)

@@ -31,9 +31,13 @@ def global_reduce(x: jax.Array, *, node_graph: Optional[jax.Array] = None,
             c = jnp.clip(m.sum(1), 1.0, None)
             return s / c
         if op == "max":
-            return jnp.max(jnp.where(m, x, -jnp.inf), axis=1)
+            out = jnp.max(jnp.where(m, x, -jnp.inf), axis=1)
+            # empty graph (all-False mask row): neutral 0, not -inf — one
+            # empty graph must not poison the whole batch loss
+            return jnp.where(jnp.isfinite(out), out, 0.0)
         if op == "min":
-            return jnp.min(jnp.where(m, x, jnp.inf), axis=1)
+            out = jnp.min(jnp.where(m, x, jnp.inf), axis=1)
+            return jnp.where(jnp.isfinite(out), out, 0.0)
         raise ValueError(f"unknown op {op!r}")
     if node_mask is None:
         node_mask = mask  # accept either spelling in sparse mode
@@ -42,7 +46,9 @@ def global_reduce(x: jax.Array, *, node_graph: Optional[jax.Array] = None,
     if op == "mean":
         return segment_mean(x, node_graph, num_graphs, mask=node_mask)
     if op == "max":
-        return segment_max(x, node_graph, num_graphs, mask=node_mask)
+        out = segment_max(x, node_graph, num_graphs, mask=node_mask)
+        return jnp.where(jnp.isfinite(out), out, 0.0)
     if op == "min":
-        return segment_min(x, node_graph, num_graphs, mask=node_mask)
+        out = segment_min(x, node_graph, num_graphs, mask=node_mask)
+        return jnp.where(jnp.isfinite(out), out, 0.0)
     raise ValueError(f"unknown op {op!r}")
