@@ -148,3 +148,44 @@ def test_sparse_connect_subgraph_oracle(batch):
     for k in want:
         np.testing.assert_allclose(got[k], want[k], rtol=1e-4,
                                    err_msg=str(k))
+
+
+def test_postprocess_dense_self_loop_only_graph():
+    """Adjacency that is ONLY self-loops: removal leaves all-zero, and
+    degree norm must not divide by zero (reference
+    test_dense_connect_unbatched_degree_norm_empty_after_remove_self_loops)."""
+    from tgp_tpu.ops.sparse import postprocess_adj_dense
+
+    adj = jnp.eye(4)[None] * 2.0
+    out = postprocess_adj_dense(adj, remove_self_loops_flag=True,
+                                degree_norm=True, edge_weight_norm=False,
+                                adj_transpose=False)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), 0.0)
+    # edge_weight_norm over an all-zero adjacency is also finite
+    out2 = postprocess_adj_dense(jnp.zeros((1, 4, 4)),
+                                 remove_self_loops_flag=False,
+                                 degree_norm=False, edge_weight_norm=True,
+                                 adj_transpose=False)
+    assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_postprocess_sparse_self_loop_only_graph():
+    from tgp_tpu.ops.sparse import postprocess_adj_sparse
+
+    s = jnp.asarray([0, 1, 2])
+    r = jnp.asarray([0, 1, 2])
+    w = jnp.asarray([1.0, 2.0, 3.0])
+    em = jnp.ones(3, bool)
+    ng = jnp.zeros(3, jnp.int32)
+    s2, r2, w2, m2 = postprocess_adj_sparse(
+        s, r, w, em, ng, 3, 1, remove_self_loops_flag=True,
+        degree_norm=True, edge_weight_norm=True)
+    assert not np.asarray(m2).any()          # nothing survives
+    assert np.isfinite(np.asarray(w2)).all()  # and nothing is NaN/inf
+    # prune_eps larger than every weight masks everything, finitely
+    _, _, w3, m3 = postprocess_adj_sparse(
+        s, r, w, em, ng, 3, 1, remove_self_loops_flag=False,
+        degree_norm=False, edge_weight_norm=False, prune_eps=10.0)
+    assert not np.asarray(m3).any()
+    assert np.isfinite(np.asarray(w3)).all()
