@@ -89,3 +89,17 @@ def test_segment_topk_rank(data):
         inval = np.where((seg == g) & ~mask)[0]
         for idx in inval:
             assert rank[idx] >= len(sel)
+
+
+def test_segment_softmax_fully_masked_segment_is_zero():
+    """A segment whose members are all masked yields 0s, not NaN
+    (softmax of an empty set)."""
+    from tgp_tpu.ops.segment import segment_softmax
+
+    x = jnp.asarray([1.0, 2.0, 3.0, 4.0])
+    seg = jnp.asarray([0, 0, 1, 1])
+    mask = jnp.asarray([True, True, False, False])
+    sm = np.asarray(segment_softmax(x, seg, 2, mask=mask))
+    assert np.isfinite(sm).all()
+    np.testing.assert_allclose(sm[2:], 0.0)
+    np.testing.assert_allclose(sm[:2].sum(), 1.0, rtol=1e-6)

@@ -131,3 +131,15 @@ def test_mincut_lift_roundtrip_inverse_projects():
                          np.asarray(lifted))
     np.testing.assert_allclose(repooled, np.asarray(out.dense.x),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_pinv_lift_rank_deficient_s_finite():
+    """Moore-Penrose lift of a rank-deficient S (every node in one cluster)
+    stays finite — jnp.linalg.pinv handles the zero singular values."""
+    from tgp_tpu.lift.base import lift_dense_batched
+    from tgp_tpu.select.base import SelectOutput
+
+    S = jnp.zeros((2, 6, 3)).at[:, :, 0].set(1.0)
+    so = SelectOutput(s=S, num_clusters=3, num_graphs=2, s_inv_op="inverse")
+    out = lift_dense_batched(jnp.ones((2, 3, 4)), so, matrix_op="precomputed")
+    assert np.isfinite(np.asarray(out)).all()
