@@ -1,0 +1,128 @@
+"""Dataset loader tests against committed raw-format fixtures
+(reference loaders: tgp/datasets/graph_classification_bench.py:88-105,
+tgp/datasets/expwl1.py:50-63, tgp/datasets/pygsp.py:9-140, plus the TU
+format PyG's TUDataset parses for PROTEINS/NCI1)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tgp_tpu.datasets import (
+    PYGSP_GRAPHS,
+    EXPWL1Dataset,
+    GraphClassificationBench,
+    PyGSPDataset,
+    TUDataset,
+    pygsp_graph,
+)
+
+FIXTURES = Path(__file__).resolve().parent.parent / "fixtures"
+
+
+# ---------------------------------------------------------------- TU format
+def test_tu_parse_mini():
+    ds = TUDataset(root=FIXTURES / "tu", name="MINI")
+    graphs, labels = ds.load()
+    assert len(graphs) == 12 and len(labels) == 12
+    assert ds.num_classes == 2
+    assert set(np.unique(labels)) <= {0, 1}
+    # features = one-hot(3 node labels) + 2 attributes
+    assert ds.num_features == 5
+    for x, ei in graphs:
+        n = x.shape[0]
+        assert ei.shape[0] == 2
+        assert ei.min() >= 0 and ei.max() < n
+        # undirected: every edge has its reverse
+        fwd = set(map(tuple, ei.T.tolist()))
+        assert all((j, i) in fwd for i, j in fwd)
+    # edge attributes align with per-graph edge counts
+    ea = ds.edge_attributes()
+    assert all(a.shape[0] == g[1].shape[1] for a, g in zip(ea, graphs))
+
+
+def test_tu_missing_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        TUDataset(root=tmp_path, name="NOPE").load()
+
+
+def test_tu_feeds_graph_batch():
+    from tgp_tpu.graph import from_graphs
+
+    graphs, labels = TUDataset(root=FIXTURES / "tu", name="MINI").load()
+    batch = from_graphs(graphs[:4])
+    assert int(batch.node_mask.sum()) == sum(g[0].shape[0] for g in graphs[:4])
+
+
+# ------------------------------------------------- GraphClassificationBench
+def test_gcb_raw_format_splits():
+    counts = {}
+    for split in ("train", "val", "test"):
+        ds = GraphClassificationBench(root=FIXTURES / "gcb", split=split)
+        graphs, labels = ds.load()
+        counts[split] = len(graphs)
+        assert len(labels) == len(graphs)
+        assert set(np.unique(labels)) <= {0, 1}
+        for x, ei in graphs:
+            assert x.shape[1] == 3
+            assert ei.max() < x.shape[0]
+    assert counts == {"train": 8, "val": 4, "test": 4}
+
+
+def test_gcb_missing_raises(tmp_path):
+    with pytest.raises(RuntimeError, match="download"):
+        GraphClassificationBench(root=tmp_path).load()
+
+
+def test_gcb_file_name_flags():
+    assert GraphClassificationBench(easy=False, small=False).file_name == "hard"
+    assert GraphClassificationBench(easy=True, small=True).file_name == \
+        "easy_small"
+
+
+# ------------------------------------------------------------------ EXPWL1
+def test_expwl1_fixture():
+    graphs, labels = EXPWL1Dataset(root=FIXTURES / "expwl1").load()
+    assert len(graphs) == 10
+    assert labels.dtype == np.int32
+
+
+def test_expwl1_missing_raises(tmp_path):
+    with pytest.raises(RuntimeError, match="zero-egress"):
+        EXPWL1Dataset(root=tmp_path).load()
+
+
+# ------------------------------------------------------------------- PyGSP
+@pytest.mark.parametrize("name", PYGSP_GRAPHS)
+def test_pygsp_graphs_build(name):
+    x, ei, w, y = pygsp_graph(name, n=36, seed=1)
+    n = x.shape[0]
+    assert ei.shape[0] == 2 and ei.shape[1] == w.shape[0]
+    assert y.shape == (n,)
+    assert ei.min() >= 0 and ei.max() < n
+    assert (w > 0).all()
+    # symmetric edge list
+    fwd = {(int(i), int(j)) for i, j in ei.T}
+    assert all((j, i) in fwd for i, j in fwd), name
+
+
+def test_pygsp_community_labels():
+    _, _, _, y = pygsp_graph("StochasticBlockModel", n=60, seed=0)
+    assert len(np.unique(y)) > 1
+
+
+def test_pygsp_unavailable_raises():
+    with pytest.raises(ValueError, match="pygsp"):
+        pygsp_graph("Minnesota")
+    with pytest.raises(ValueError, match="not available"):
+        pygsp_graph("Bogus")
+
+
+def test_pygsp_dataset_to_batch_and_pool():
+    """A PyGSP graph flows through a pooler end-to-end."""
+    from tgp_tpu.poolers import get_pooler
+
+    batch = PyGSPDataset(name="Sensor", n=32, seed=0).as_graph_batch()
+    pooler = get_pooler("graclus")
+    out = pooler(batch)
+    assert out.x.shape[0] > 0

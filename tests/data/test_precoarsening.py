@@ -175,3 +175,27 @@ def test_collate_separate_roundtrip(alias, kw):
             s_o = np.asarray(orig["s"], np.float32)
             np.testing.assert_allclose(
                 np.asarray(rec["s"])[:, : s_o.shape[1]], s_o, rtol=1e-6)
+
+
+@pytest.mark.parametrize("alias,kw", [
+    ("graclus", {}), ("ndp", {}), ("sep", {}),
+    ("nmf", {"k": 2}), ("eigen", {"k": 2}),
+])
+@pytest.mark.parametrize("case", ["edgeless", "single", "two_components"])
+def test_precoarsen_degenerate_graphs(alias, kw, case):
+    """Host selectors must survive edgeless, singleton, and disconnected
+    inputs (the reference's per-selector degenerate cases)."""
+    if case == "edgeless":
+        ei, n = np.zeros((2, 0), np.int64), 3
+    elif case == "single":
+        ei, n = np.zeros((2, 0), np.int64), 1
+    else:  # two 2-cliques plus two isolated nodes
+        ei, n = np.asarray([[0, 1, 3, 4], [1, 0, 4, 3]]), 6
+    levels = precoarsen_graph(alias, ei, n, levels=2, **kw)
+    assert len(levels) == 2
+    for lvl in levels:
+        assert lvl["num_clusters"] >= 1
+        ei_p = np.asarray(lvl["edge_index"])
+        if ei_p.size:
+            assert ei_p.max() < lvl["num_clusters"]
+            assert np.isfinite(np.asarray(lvl["edge_weight"])).all()
