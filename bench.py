@@ -253,11 +253,15 @@ def bench_torch(graphs, labels):
         return loss
 
     step()  # warmup
+    # best-of-3 chunks: min per-step time resists transient host-CPU load
+    # (a loaded machine otherwise inflates vs_baseline several-fold)
     n_steps = max(STEPS // 3, 5)
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        step()
-    dt = (time.perf_counter() - t0) / n_steps
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            step()
+        dt = min(dt, (time.perf_counter() - t0) / n_steps)
     return ei.shape[1] / dt, dt
 
 
