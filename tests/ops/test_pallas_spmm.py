@@ -110,3 +110,16 @@ def test_check_band_contract():
     s2 = s.copy()
     s2[0] = N - 1
     assert not check_band_contract(s2, r, em, N, block_rows=128, window=128)
+
+
+def test_sorted_segment_sum_bf16_input_interpret():
+    """bf16 message input: VMEM scratch must match the HBM dtype (a
+    bf16→f32 DMA is a Mosaic element-type mismatch), output comes back
+    bf16, values track the f32 oracle at bf16 resolution."""
+    msgs, rids, row_ptr, expect = _case()
+    out = sorted_segment_sum_pallas(
+        jnp.asarray(msgs).astype(jnp.bfloat16), jnp.asarray(rids),
+        jnp.asarray(row_ptr), 256, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32), expect,
+                               rtol=3e-2, atol=3e-2)

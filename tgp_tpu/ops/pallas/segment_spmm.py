@@ -72,7 +72,9 @@ def _kernel(row_ptr_ref, lo_ref, hi_ref, msgs_hbm, out_ref, *, block_rows,
             e0 = (c0 + c) * block_edges
             pos = e0 + jax.lax.broadcasted_iota(
                 jnp.int32, (block_rows, block_edges), 1)
-            oh = ((pos >= lo) & (pos < hi)).astype(jnp.float32)
+            # one-hot in the message dtype (1.0/0.0 are exact in bf16);
+            # accumulation stays f32 via preferred_element_type
+            oh = ((pos >= lo) & (pos < hi)).astype(msgs_hbm.dtype)
             return acc + jnp.dot(oh, chunk,
                                  preferred_element_type=jnp.float32,
                                  precision=precision)
@@ -83,7 +85,9 @@ def _kernel(row_ptr_ref, lo_ref, hi_ref, msgs_hbm, out_ref, *, block_rows,
 
     pl.run_scoped(
         body,
-        msgs_buf=pltpu.VMEM((2, block_edges, F), jnp.float32),
+        # scratch must match the HBM source dtype (a bf16→f32 DMA is an
+        # element-type mismatch at the Mosaic level)
+        msgs_buf=pltpu.VMEM((2, block_edges, F), msgs_hbm.dtype),
         msg_sem=pltpu.SemaphoreType.DMA((2,)),
     )
 
