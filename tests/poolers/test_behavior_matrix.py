@@ -279,3 +279,33 @@ def test_lift_inverse_differs_from_transpose(batch):
                             x=out_i.dense.x)
     # … but the lift operator differs (Sᵀ vs S⁺)
     assert not np.allclose(np.asarray(lift_t), np.asarray(lift_i))
+
+
+@pytest.mark.parametrize("batched", [True, False])
+@pytest.mark.parametrize("adj_transpose", [True, False])
+@pytest.mark.parametrize("sparse_output", [True, False])
+def test_dense_flag_combination_lattice(batched, adj_transpose,
+                                        sparse_output):
+    """All 8 {batched}×{adj_transpose}×{sparse_output} combinations must
+    produce the SAME aux losses on a symmetric adjacency (transposing a
+    symmetric A is a no-op; sparse_output only re-encodes the pooled
+    graph) — pairwise flag interactions the per-flag tests can't see.
+    (Unweighted batch: the weighted fixture draws per-direction weights,
+    making A asymmetric — there adj_transpose legitimately changes the
+    cut, matching the reference's transpose semantics.)"""
+    sym = make_batch([9, 6, 12], num_features=6, seed=3, weighted=False,
+                     pad_nodes=32, pad_edges=160)
+    pooler = get_pooler("mincut", in_channels=6, k=4, batched=batched,
+                        adj_transpose=adj_transpose,
+                        sparse_output=sparse_output)
+    params = pooler.init(jax.random.key(0), sym)
+    out = pooler.apply(params, sym)
+    ref = get_pooler("mincut", in_channels=6, k=4).apply(params, sym)
+    for name in ref.loss:
+        np.testing.assert_allclose(
+            float(out.loss[name]), float(ref.loss[name]), rtol=5e-4,
+            atol=5e-4,
+            err_msg=f"{batched=} {adj_transpose=} {sparse_output=} {name}")
+    g = out.graph if out.graph is not None else out.dense
+    x = g.x
+    assert np.isfinite(np.asarray(x)).all()
