@@ -114,3 +114,73 @@ def test_batch_order_invariance(alias, kw):
             s_new = np.asarray(g2.x)[new_pos].sum(0)
             np.testing.assert_allclose(s_new, s_old, rtol=5e-3, atol=5e-3,
                                        err_msg=f"{alias} graph {old_pos}")
+
+
+@pytest.mark.parametrize("alias,kw", [
+    ("mincut", {"k": 4}),
+    ("topk", {"ratio": 0.5}),
+    ("kmis", {}),
+    ("maxcut", {"ratio": 0.5}),
+])
+def test_padding_budget_invariance(alias, kw):
+    """Growing the static padding budgets must not change losses or valid
+    outputs — the core static-shape masking contract."""
+    gs = _graphs(seed=11)
+    b1 = from_graphs(gs, pad_nodes=32, pad_edges=160)
+    b2 = from_graphs(gs, pad_nodes=64, pad_edges=512)
+    pooler = get_pooler(alias, in_channels=6, **kw)
+    params = pooler.init(jax.random.key(0), b1)
+    out1 = pooler.apply(params, b1)
+    out2 = pooler.apply(params, b2)
+    if out1.loss:
+        for name in out1.loss:
+            np.testing.assert_allclose(
+                float(out1.loss[name]), float(out2.loss[name]),
+                rtol=RTOL, atol=ATOL, err_msg=f"{alias}:{name}")
+    g1 = out1.graph if out1.graph is not None else out1.dense
+    g2 = out2.graph if out2.graph is not None else out2.dense
+    if out1.graph is not None:
+        ng1, nm1 = np.asarray(g1.node_graph), np.asarray(g1.node_mask)
+        ng2, nm2 = np.asarray(g2.node_graph), np.asarray(g2.node_mask)
+        for g in range(b1.num_graphs):
+            s1 = np.asarray(g1.x)[nm1 & (ng1 == g)].sum(0)
+            s2 = np.asarray(g2.x)[nm2 & (ng2 == g)].sum(0)
+            np.testing.assert_allclose(s1, s2, rtol=5e-3, atol=5e-3,
+                                       err_msg=f"{alias} graph {g}")
+
+
+@pytest.mark.parametrize("alias,kw", [
+    ("mincut", {"k": 4}),
+    ("topk", {"ratio": 0.5}),
+    ("graclus", {}),
+])
+def test_edge_order_invariance(alias, kw):
+    """Shuffling the edge list must not change results beyond float
+    reassociation (segment ops are order-invariant; nothing may depend on
+    the input edge ordering)."""
+    gs = _graphs(seed=21)
+    shuffled = []
+    for i, (x, ei) in enumerate(gs):
+        perm = np.random.default_rng(50 + i).permutation(ei.shape[1])
+        shuffled.append((x, ei[:, perm]))
+    b1 = from_graphs(gs, pad_nodes=32, pad_edges=160)
+    b2 = from_graphs(shuffled, pad_nodes=32, pad_edges=160)
+    pooler = get_pooler(alias, in_channels=6, **kw)
+    params = pooler.init(jax.random.key(0), b1)
+    out1 = pooler.apply(params, b1)
+    out2 = pooler.apply(params, b2)
+    if out1.loss:
+        for name in out1.loss:
+            np.testing.assert_allclose(
+                float(out1.loss[name]), float(out2.loss[name]),
+                rtol=RTOL, atol=ATOL, err_msg=f"{alias}:{name}")
+    g1 = out1.graph if out1.graph is not None else out1.dense
+    g2 = out2.graph if out2.graph is not None else out2.dense
+    if out1.graph is not None:
+        ng1, nm1 = np.asarray(g1.node_graph), np.asarray(g1.node_mask)
+        ng2, nm2 = np.asarray(g2.node_graph), np.asarray(g2.node_mask)
+        for g in range(b1.num_graphs):
+            s1 = np.asarray(g1.x)[nm1 & (ng1 == g)].sum(0)
+            s2 = np.asarray(g2.x)[nm2 & (ng2 == g)].sum(0)
+            np.testing.assert_allclose(s1, s2, rtol=5e-3, atol=5e-3,
+                                       err_msg=f"{alias} graph {g}")
