@@ -112,3 +112,40 @@ def test_scaling_harness_runs():
     for d, rec in res.items():
         assert rec["edges_per_s"] > 0
         assert np.isfinite(rec["seconds_per_step"])
+
+
+def test_sharded_pooled_gradients_match_single_device():
+    """∂loss/∂params of the sharded (D=8) pooled model must equal the same
+    model on a 1-device mesh — the collectives are gradient-transparent."""
+    D = 8
+    n_nodes = 256
+    x_np, ei = erdos_renyi_graph(n_nodes, p=0.05, num_features=12, seed=9)
+
+    def build(device_count):
+        devs = jax.devices()[:device_count]
+        mesh = Mesh(np.array(devs), ("gp",))
+        S, R, W, n_pad, rows_per = prepare_sharded_graph(
+            ei[0], ei[1], None, n_nodes, device_count)
+        x = np.zeros((n_pad, 12), np.float32)
+        x[:n_nodes] = x_np
+        fwd, _ = make_sharded_pooled_forward(
+            mesh, rows_per=rows_per, n_pad=n_pad, num_valid=n_nodes,
+            ratio=0.5, num_levels=1)
+        shard = NamedSharding(mesh, P("gp"))
+        args = tuple(jax.device_put(v, shard)
+                     for v in (jnp.asarray(x), S, R, W))
+
+        def loss(params):
+            logits, _ = fwd(params, *args)
+            return jnp.sum(logits ** 2)
+
+        return loss
+
+    params = init_pooled_params(jax.random.key(1), 12, 16, 3, num_levels=1)
+    if len(jax.devices()) < D:
+        pytest.skip("needs 8 virtual devices")
+    g8 = jax.grad(build(D))(params)
+    g1 = jax.grad(build(1))(params)
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(g8[k]), np.asarray(g1[k]),
+                                   rtol=5e-4, atol=1e-5, err_msg=k)
