@@ -98,3 +98,21 @@ def test_aggr_readout_mode(batch):
     for g in range(batch.num_graphs):
         np.testing.assert_allclose(np.asarray(z)[g],
                                    x[nm & (ng == g)].mean(0), rtol=1e-5)
+
+
+@pytest.mark.parametrize("kind", ["graph_conv", "gcn", "le"])
+def test_sag_gnn_kind_variants(batch, kind):
+    """SAG's scoring GNN is selectable (reference SAGPooling GNN= arg)."""
+    pooler = get_pooler("sag", in_channels=6, ratio=0.5, gnn_kind=kind)
+    params = pooler.init(jax.random.key(0), batch)
+    out = pooler.apply(params, batch)
+    counts = np.asarray(out.graph.nodes_per_graph())
+    expect = np.ceil(0.5 * np.asarray(batch.nodes_per_graph())).astype(int)
+    np.testing.assert_array_equal(counts, expect)
+    assert np.isfinite(np.asarray(out.graph.x)).all()
+
+
+def test_sag_invalid_gnn_kind(batch):
+    pooler = get_pooler("sag", in_channels=6, gnn_kind="bogus")
+    with pytest.raises(ValueError, match="gnn_kind"):
+        pooler.init(jax.random.key(0), batch)

@@ -29,6 +29,9 @@ class SAGPooling(SRCPooling):
     min_score: Optional[float] = None
     multiplier: float = 1.0
     nonlinearity: Union[str, Callable, None] = "tanh"
+    #: scoring GNN (reference SAGPooling's ``GNN=`` argument, sag.py:17-228):
+    #: 'graph_conv' (reference default) | 'gcn' | 'le'
+    gnn_kind: str = "graph_conv"
     s_inv_op: str = "transpose"
     connect_red_op: str = "sum"
     remove_self_loops: bool = True
@@ -38,7 +41,19 @@ class SAGPooling(SRCPooling):
     IS_TRAINABLE = True
 
     def setup(self):
-        self.gnn = GraphConv(1)
+        if self.gnn_kind == "graph_conv":
+            self.gnn = GraphConv(1)
+        elif self.gnn_kind == "gcn":
+            from tgp_tpu.mp.gcn import GCNConv
+
+            self.gnn = GCNConv(1)
+        elif self.gnn_kind == "le":
+            from tgp_tpu.mp.leconv import LEConv
+
+            self.gnn = LEConv(1)
+        else:
+            raise ValueError(
+                f"gnn_kind must be graph_conv|gcn|le, got {self.gnn_kind!r}")
 
     def __call__(self, batch: GraphBatch, *, so: Optional[SelectOutput] = None,
                  lifting: bool = False, x: Optional[jax.Array] = None,
@@ -46,7 +61,13 @@ class SAGPooling(SRCPooling):
         if lifting:
             return self.lift(x if x is not None else batch.x, so)
         if so is None:
-            score = self.gnn(batch, attn)[:, 0]
+            if self.gnn_kind == "le":
+                score = self.gnn(
+                    attn if attn is not None else batch.x, batch.senders,
+                    batch.receivers, batch.edge_weight, batch.num_nodes,
+                    batch.node_mask)[:, 0]
+            else:
+                score = self.gnn(batch, attn)[:, 0]
             if self.min_score is None:
                 score = resolve_activation(self.nonlinearity)(score)
             else:
