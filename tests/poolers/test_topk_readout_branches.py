@@ -116,3 +116,15 @@ def test_sag_invalid_gnn_kind(batch):
     pooler = get_pooler("sag", in_channels=6, gnn_kind="bogus")
     with pytest.raises(ValueError, match="gnn_kind"):
         pooler.init(jax.random.key(0), batch)
+
+
+@pytest.mark.parametrize("intra", [None, "graph_conv", "gcn"])
+def test_asap_intra_gnn_variants(batch, intra):
+    """ASAP's optional intra-cluster GNN (reference GNN= arg)."""
+    pooler = get_pooler("asap", in_channels=6, ratio=0.5, intra_gnn=intra)
+    params = pooler.init(jax.random.key(0), batch)
+    out = pooler.apply(params, batch)
+    counts = np.asarray(out.graph.nodes_per_graph())
+    expect = np.ceil(0.5 * np.asarray(batch.nodes_per_graph())).astype(int)
+    np.testing.assert_array_equal(counts, expect)
+    assert np.isfinite(np.asarray(out.graph.x)).all()

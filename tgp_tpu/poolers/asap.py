@@ -36,6 +36,10 @@ class ASAPooling(SRCPooling):
     dropout: float = 0.0
     negative_slope: float = 0.2
     nonlinearity: Union[str, Callable, None] = "sigmoid"
+    #: optional GNN computing intra-cluster features before the ego-network
+    #: attention (reference ``GNN=`` arg, asap.py:101-147; None = reference
+    #: default): None | 'graph_conv' | 'gcn'
+    intra_gnn: Optional[str] = None
     s_inv_op: str = "transpose"
     connect_red_op: str = "sum"
     remove_self_loops: bool = True
@@ -48,6 +52,19 @@ class ASAPooling(SRCPooling):
         self.lin = nn.Dense(self.in_channels)
         self.att = nn.Dense(1)
         self.select_scorer = LEConv(1)
+        if self.intra_gnn is None:
+            pass
+        elif self.intra_gnn == "graph_conv":
+            from tgp_tpu.mp.gcn import GraphConv
+
+            self.gnn_intra_cluster = GraphConv(self.in_channels)
+        elif self.intra_gnn == "gcn":
+            from tgp_tpu.mp.gcn import GCNConv
+
+            self.gnn_intra_cluster = GCNConv(self.in_channels)
+        else:
+            raise ValueError(
+                f"intra_gnn must be None|graph_conv|gcn, got {self.intra_gnn!r}")
 
     def __call__(self, batch: GraphBatch, *, so: Optional[SelectOutput] = None,
                  lifting: bool = False, x: Optional[jax.Array] = None):
@@ -60,7 +77,10 @@ class ASAPooling(SRCPooling):
             batch.node_mask, 1.0)
 
         x_in = batch.x
-        x_pool = x_in  # gnn_intra_cluster=None default (reference asap.py:54)
+        if self.intra_gnn is None:
+            x_pool = x_in  # reference default (asap.py:54)
+        else:
+            x_pool = self.gnn_intra_cluster(batch)
 
         # ego-network attention
         x_q = segment_max(x_pool[s], r, N, mask=em)
