@@ -128,3 +128,48 @@ def test_asap_intra_gnn_variants(batch, intra):
     expect = np.ceil(0.5 * np.asarray(batch.nodes_per_graph())).astype(int)
     np.testing.assert_array_equal(counts, expect)
     assert np.isfinite(np.asarray(out.graph.x)).all()
+
+
+def test_factory_translates_reference_arg_spellings(batch):
+    """Migrating code may use the reference's arg names: ``lift=`` and
+    topk's ``nonlinearity=`` must reach our `lift_op`/`act` fields instead
+    of being silently filtered."""
+    p = get_pooler("topk", in_channels=6, ratio=0.5, lift="inverse",
+                   nonlinearity="sigmoid")
+    assert p.lift_op == "inverse"
+    assert p.act == "sigmoid"
+    # asap spells it nonlinearity natively — no translation
+    p2 = get_pooler("asap", in_channels=6, nonlinearity="tanh")
+    assert p2.nonlinearity == "tanh"
+
+
+def test_maxcut_assign_all_nodes_false_partial(batch):
+    """assign_all_nodes=False keeps a partial top-k selection (reference
+    maxcut.py semantics)."""
+    pooler = get_pooler("maxcut", in_channels=6, ratio=0.5,
+                        assign_all_nodes=False)
+    params = pooler.init(jax.random.key(0), batch)
+    so = pooler.apply(params, batch).so
+    nm = np.asarray(so.node_mask)
+    sel = np.asarray(so.node_sel_mask)
+    assert sel[nm].sum() < nm.sum()  # strictly partial
+    assert so.partial
+
+
+def test_asap_no_self_loops_runs(batch):
+    pooler = get_pooler("asap", in_channels=6, ratio=0.5,
+                        add_self_loops=False)
+    params = pooler.init(jax.random.key(0), batch)
+    out = pooler.apply(params, batch)
+    assert np.isfinite(np.asarray(out.graph.x)).all()
+
+
+def test_eigen_unnormalized_laplacian():
+    from tgp_tpu.precoarsen.eigenpool import eigenpool_level
+    from tests.utils_graphs import erdos_renyi_graph
+
+    x, ei = erdos_renyi_graph(12, p=0.4, num_features=4, seed=2)
+    a = eigenpool_level(ei, 12, k=3, num_modes=2, normalized=True)
+    b = eigenpool_level(ei, 12, k=3, num_modes=2, normalized=False)
+    assert not np.allclose(np.asarray(a["theta"]), np.asarray(b["theta"]))
+    assert np.isfinite(np.asarray(b["theta"])).all()

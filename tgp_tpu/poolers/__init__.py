@@ -72,6 +72,13 @@ def get_pooler(alias: str, **kwargs) -> SRCPooling:
         )
     cls = _REGISTRY[name]
     sig = pooler_signature(cls)
+    # translate reference argument spellings so migrating code keeps working
+    # (reference: ``lift=``, topk's ``nonlinearity=`` — tgp/poolers/topk.py)
+    for ref_name, our_name in (("lift", "lift_op"),
+                               ("nonlinearity", "act"),
+                               ("act", "nonlinearity")):
+        if ref_name in kwargs and ref_name not in sig and our_name in sig:
+            kwargs[our_name] = kwargs.pop(ref_name)
     # silently filter irrelevant kwargs, like the reference factory
     # (tgp/poolers/__init__.py:131-140)
     init_kwargs = {k: v for k, v in kwargs.items() if k in sig}

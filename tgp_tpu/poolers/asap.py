@@ -40,6 +40,9 @@ class ASAPooling(SRCPooling):
     #: attention (reference ``GNN=`` arg, asap.py:101-147; None = reference
     #: default): None | 'graph_conv' | 'gcn'
     intra_gnn: Optional[str] = None
+    #: include each node in its own ego network (reference
+    #: ``add_self_loops``, asap.py)
+    add_self_loops: bool = True
     s_inv_op: str = "transpose"
     connect_red_op: str = "sum"
     remove_self_loops: bool = True
@@ -72,9 +75,13 @@ class ASAPooling(SRCPooling):
             return self.lift(x if x is not None else batch.x, so)
 
         N = batch.num_nodes
-        s, r, w, em = add_remaining_self_loops(
-            batch.senders, batch.receivers, batch.edge_weight, batch.edge_mask,
-            batch.node_mask, 1.0)
+        if self.add_self_loops:
+            s, r, w, em = add_remaining_self_loops(
+                batch.senders, batch.receivers, batch.edge_weight,
+                batch.edge_mask, batch.node_mask, 1.0)
+        else:
+            s, r, w, em = (batch.senders, batch.receivers,
+                           batch.edge_weight, batch.edge_mask)
 
         x_in = batch.x
         if self.intra_gnn is None:

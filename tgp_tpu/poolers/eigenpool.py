@@ -20,6 +20,9 @@ class EigenPooling(HostPooling):
     num_modes: int = 3
     seed: int = 0
     degree_norm: bool = True
+    #: normalized vs combinatorial subgraph Laplacian for the Θ modes
+    #: (reference ``normalized``, eigenpool_select.py:17-68)
+    normalized: bool = True
 
     IS_DENSE = True
 
@@ -28,6 +31,7 @@ class EigenPooling(HostPooling):
 
     def level_kwargs(self):
         return {"k": self.k, "num_modes": self.num_modes, "seed": self.seed,
+                "normalized": self.normalized,
                 "degree_norm": self.degree_norm}
 
     def reduce_level(self, x, so):

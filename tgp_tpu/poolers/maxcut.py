@@ -24,6 +24,10 @@ class MaxCutPooling(SRCPooling):
     in_channels: int = 0
     ratio: Union[int, float] = 0.5
     loss_coeff: float = 1.0
+    #: upgrade the top-k selection to a total assignment (reference
+    #: ``assign_all_nodes``, maxcut.py:100-270; False = partial top-k
+    #: selection like TopkPooling)
+    assign_all_nodes: bool = True
     max_iter: int = 5
     mp_units: Sequence[int] = _DEFAULT_MP
     mp_act: str = "tanh"
@@ -46,7 +50,7 @@ class MaxCutPooling(SRCPooling):
     def setup(self):
         self.selector = MaxCutSelect(
             in_channels=self.in_channels, ratio=self.ratio,
-            do_assign_all_nodes=True, max_iter=self.max_iter,
+            do_assign_all_nodes=self.assign_all_nodes, max_iter=self.max_iter,
             mp_units=self.mp_units, mp_act=self.mp_act,
             mlp_units=self.mlp_units, mlp_act=self.mlp_act,
             delta=self.delta, s_inv_op=self.s_inv_op,

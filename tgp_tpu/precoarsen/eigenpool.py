@@ -19,15 +19,21 @@ from tgp_tpu.precoarsen.common import csr_to_edge_index, to_csr
 __all__ = ["eigenpool_level"]
 
 
-def _subgraph_eigvecs(A_sub: np.ndarray, H: int) -> np.ndarray:
-    """First ``H`` eigenvectors of the cluster's NORMALIZED Laplacian,
-    reference-exact (eigenpool_select.py:17-68 + :129-153): modes beyond
-    ``n−1`` repeat the last eigenvector; sign flipped iff the first entry is
-    negative."""
+def _subgraph_eigvecs(A_sub: np.ndarray, H: int,
+                      normalized: bool = True) -> np.ndarray:
+    """First ``H`` eigenvectors of the cluster's Laplacian (normalized by
+    default), reference-exact (eigenpool_select.py:17-68 + :129-153): modes
+    beyond ``n−1`` repeat the last eigenvector; sign flipped iff the first
+    entry is negative."""
     n = A_sub.shape[0]
-    d = A_sub.sum(0).reshape(-1) + np.spacing(np.array(0, dtype=A_sub.dtype))
-    dis = 1.0 / np.sqrt(d)
-    L = np.eye(n, dtype=A_sub.dtype) - (dis[:, None] * A_sub * dis[None, :])
+    if normalized:
+        d = (A_sub.sum(0).reshape(-1)
+             + np.spacing(np.array(0, dtype=A_sub.dtype)))
+        dis = 1.0 / np.sqrt(d)
+        L = np.eye(n, dtype=A_sub.dtype) - (dis[:, None] * A_sub
+                                            * dis[None, :])
+    else:
+        L = np.diag(A_sub.sum(0).reshape(-1)) - A_sub
     w, v = np.linalg.eigh(L)
     out = np.zeros((n, H))
     for j in range(H):
@@ -40,7 +46,8 @@ def _subgraph_eigvecs(A_sub: np.ndarray, H: int) -> np.ndarray:
 
 def eigenpool_level(edge_index, num_nodes, edge_weight=None, *, k: int = 8,
                     num_modes: int = 3, seed: int = 0,
-                    degree_norm: bool = True) -> dict:
+                    degree_norm: bool = True,
+                    normalized: bool = True) -> dict:
     from sklearn.cluster import SpectralClustering
 
     A = to_csr(edge_index, num_nodes, edge_weight)
@@ -69,7 +76,8 @@ def eigenpool_level(edge_index, num_nodes, edge_weight=None, *, k: int = 8,
             # into every mode column
             theta[nodes[0], c::K] = float(Ad[nodes[0], nodes[0]])
             continue
-        vecs = _subgraph_eigvecs(Ad[np.ix_(nodes, nodes)], H)
+        vecs = _subgraph_eigvecs(Ad[np.ix_(nodes, nodes)], H,
+                                 normalized=normalized)
         for h in range(H):
             theta[nodes, h * K + c] = vecs[:, h]
 
