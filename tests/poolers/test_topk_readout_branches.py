@@ -173,3 +173,29 @@ def test_eigen_unnormalized_laplacian():
     b = eigenpool_level(ei, 12, k=3, num_modes=2, normalized=False)
     assert not np.allclose(np.asarray(a["theta"]), np.asarray(b["theta"]))
     assert np.isfinite(np.asarray(b["theta"])).all()
+
+
+def test_kmis_force_undirected_directed_chain():
+    """A purely forward-directed chain: without symmetrization the MIS
+    independence/domination only sees forward edges; with
+    force_undirected=True (reference to_undirected(reduce='max')) the MIS
+    respects both directions."""
+    from tgp_tpu.graph import from_graphs
+
+    n = 7
+    s = np.arange(n - 1)
+    ei = np.stack([s, s + 1])  # forward only
+    x = np.random.default_rng(0).normal(size=(n, 6)).astype(np.float32)
+    b = from_graphs([(x, ei)])
+    pooler = get_pooler("kmis", in_channels=6, scorer="constant",
+                        force_undirected=True)
+    params = pooler.init(jax.random.key(0), b)
+    out = pooler.apply(params, b)
+    mis = np.asarray(out.so.extras["mis"])[: n]
+    # undirected chain: no two adjacent nodes both in the MIS, every
+    # non-member has a member neighbor (either direction)
+    for i in range(n - 1):
+        assert not (mis[i] and mis[i + 1])
+    for i in range(n):
+        if not mis[i]:
+            assert (i > 0 and mis[i - 1]) or (i < n - 1 and mis[i + 1])

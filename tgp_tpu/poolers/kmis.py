@@ -27,6 +27,7 @@ class KMISPooling(SRCPooling):
     order_k: int = 1
     scorer: str = "linear"
     score_heuristic: Optional[str] = "greedy"
+    force_undirected: bool = False
     reduce_red_op: Optional[str] = "sum"
     s_inv_op: str = "transpose"
     connect_red_op: str = "sum"
@@ -42,6 +43,7 @@ class KMISPooling(SRCPooling):
             in_channels=self.in_channels, order_k=self.order_k,
             scorer=self.scorer, score_heuristic=self.score_heuristic,
             s_inv_op=self.s_inv_op,
+            force_undirected=self.force_undirected,
         )
 
     def __call__(self, batch: GraphBatch, *, so: Optional[SelectOutput] = None,

@@ -189,6 +189,11 @@ class KMISSelect(nn.Module):
     score_heuristic: Optional[str] = "greedy"
     s_inv_op: str = "transpose"
     mis_impl: str = "auto"  # 'auto' | 'dense' | 'sparse'
+    #: symmetrize the connectivity before the MIS (reference
+    #: ``force_undirected`` → ``to_undirected(reduce="max")``,
+    #: kmis_select.py:355-358); static-shape version: concat reversed
+    #: edges (2E budget) + max-coalesce
+    force_undirected: bool = False
 
     def _score(self, batch: GraphBatch) -> jax.Array:
         if self.scorer == "linear":
@@ -218,6 +223,17 @@ class KMISSelect(nn.Module):
 
     @nn.compact
     def __call__(self, batch: GraphBatch) -> SelectOutput:
+        if self.force_undirected:
+            from tgp_tpu.ops.sparse import coalesce
+
+            s2 = jnp.concatenate([batch.senders, batch.receivers])
+            r2 = jnp.concatenate([batch.receivers, batch.senders])
+            w2 = jnp.concatenate([batch.edge_weight, batch.edge_weight])
+            em2 = jnp.concatenate([batch.edge_mask, batch.edge_mask])
+            s2, r2, w2, em2 = coalesce(s2, r2, w2, em2, batch.num_nodes,
+                                       reduce="max")
+            batch = batch.replace(senders=s2, receivers=r2, edge_weight=w2,
+                                  edge_mask=em2)
         score = self._score(batch)
         updated = self._heuristic(score, batch)
         # rank by descending updated score; padded nodes last
