@@ -23,7 +23,8 @@ import jax.numpy as jnp
 
 from tgp_tpu.graph import GraphBatch
 
-__all__ = ["negative_edge_sampling", "bipartite_negative_edge_sampling"]
+__all__ = ["negative_edge_sampling", "bipartite_negative_edge_sampling",
+           "cap_samples_per_graph"]
 
 _EXACT_KEY_MAX_N = 46340  # floor(sqrt(2^31 - 1)): s·N + r fits in int32
 
@@ -167,3 +168,17 @@ def bipartite_negative_edge_sampling(
         dst = jnp.where(bad, r2, dst)
         bad = bad & collides(src, dst)
     return src, dst, ~bad
+
+
+def cap_samples_per_graph(sample_mask, sample_graph, num_graphs: int,
+                          cap: int):
+    """Keep at most ``cap`` valid samples per graph (static shape): the
+    reference's ``num_neg_samples`` per-graph cap
+    (tgp/poolers/bnpool.py:135-139).  Keeps the first valid occurrences in
+    slot order."""
+    from tgp_tpu.ops.segment import segment_topk_rank
+
+    n = sample_mask.shape[0]
+    pos = segment_topk_rank(-jnp.arange(n, dtype=jnp.float32),
+                            sample_graph, num_graphs, mask=sample_mask)
+    return sample_mask & (pos < cap)

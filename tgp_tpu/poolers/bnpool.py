@@ -49,6 +49,10 @@ class BNPool(DenseSRCPooling):
     K_init: float = 1.0
     eta: float = 1.0
     train_K: bool = True
+    #: per-graph cap on sampled negative edges in the unbatched sparse-loss
+    #: path (reference num_neg_samples, bnpool.py:135-139; None = one
+    #: negative per positive edge)
+    num_neg_samples: Optional[int] = None
     act: Optional[str] = None
     dropout: float = 0.0
     remove_self_loops: bool = True
@@ -104,6 +108,12 @@ class BNPool(DenseSRCPooling):
                             key: jax.Array) -> Dict[str, jax.Array]:
         s = so.s
         neg_s, neg_r, neg_m = negative_edge_sampling(key, batch)
+        if self.num_neg_samples is not None:
+            from tgp_tpu.ops.sampling import cap_samples_per_graph
+
+            neg_m = cap_samples_per_graph(
+                neg_m, batch.node_graph[neg_s], batch.num_graphs,
+                self.num_neg_samples)
         all_s = jnp.concatenate([batch.senders, neg_s])
         all_r = jnp.concatenate([batch.receivers, neg_r])
         all_m = jnp.concatenate([batch.edge_mask, neg_m])
