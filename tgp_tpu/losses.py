@@ -22,7 +22,7 @@ Reference citations are per-function below.
 from __future__ import annotations
 
 import math
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

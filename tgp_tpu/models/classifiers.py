@@ -7,13 +7,13 @@ pooler's aux losses surfaced for the training loss.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tgp_tpu.graph import DenseGraphBatch, GraphBatch
+from tgp_tpu.graph import GraphBatch
 from tgp_tpu.mp.gcn import GCNConv
 from tgp_tpu.reduce.global_reduce import global_reduce
 from tgp_tpu.src import PoolingOutput

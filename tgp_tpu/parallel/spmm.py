@@ -20,7 +20,7 @@ arrays; :func:`sharded_spmm` is the jit-able step.
 from __future__ import annotations
 
 
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

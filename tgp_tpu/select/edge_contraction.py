@@ -10,7 +10,7 @@ sentinel-based ``while mask.any()`` scatter-min loop maps onto
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Union
+from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp

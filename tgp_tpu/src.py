@@ -20,7 +20,7 @@ TPU re-design of the reference's runtime (tgp/src.py, 692 LoC):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
