@@ -66,13 +66,23 @@ def main(alias: str = "topk", epochs: int = 20, batch_size: int = 32,
          data_dir: str | None = None):
     graphs, labels, num_classes = load_dataset(dataset, data_dir)
     n_train = int(0.85 * len(graphs)) if dataset != "synthetic" else 300
+    # shared padding budgets so train and eval run one compiled program:
+    # elementwise max over both splits' worst cases (each split cycles its
+    # own graphs when shorter than a batch)
+    from tgp_tpu.data.loaders import compute_budgets
+
+    b_tr = compute_budgets(graphs[:n_train], batch_size)
+    b_te = compute_budgets(graphs[n_train:], batch_size)
+    pad_nodes, pad_edges, max_nodes = (max(a, b) for a, b in zip(b_tr, b_te))
     train_loader = GraphLoader(graphs[:n_train], labels[:n_train],
-                               batch_size=batch_size, shuffle=True, seed=seed)
+                               batch_size=batch_size, shuffle=True, seed=seed,
+                               pad_nodes=pad_nodes, pad_edges=pad_edges,
+                               max_nodes=max_nodes)
     test_loader = GraphLoader(graphs[n_train:], labels[n_train:],
                               batch_size=batch_size,
-                              pad_nodes=train_loader.pad_nodes,
-                              pad_edges=train_loader.pad_edges,
-                              max_nodes=train_loader.max_nodes)
+                              pad_nodes=pad_nodes,
+                              pad_edges=pad_edges,
+                              max_nodes=max_nodes)
 
     pooler = get_pooler(alias, in_channels=hidden, ratio=0.5, k=16)
     model = PoolingClassifier(pooler=pooler, num_classes=num_classes,
@@ -125,12 +135,17 @@ def main(alias: str = "topk", epochs: int = 20, batch_size: int = 32,
             print(f"epoch {epoch:03d} loss {np.mean(losses):.4f} "
                   f"train-acc {np.mean(accs):.3f}")
 
-    correct = []
-    for batch, y in test_loader:
+    correct, seen = [], set()
+    for batch, y, idx in test_loader._iter_with_indices():
         key, sub = jax.random.split(key)
-        correct.append(np.asarray(
-            eval_step(params, batch, jnp.asarray(y), sub)))
-    test_acc = float(np.mean(np.concatenate(correct)))
+        ok = np.asarray(eval_step(params, batch, jnp.asarray(y), sub))
+        for j, i in enumerate(idx):
+            # short batches are padded by cycling graphs — count each test
+            # graph exactly once
+            if i not in seen:
+                seen.add(int(i))
+                correct.append(ok[j])
+    test_acc = float(np.mean(correct))
     if verbose:
         print(f"[{alias}] test acc {test_acc:.3f}  ({time.time()-t0:.1f}s)")
 

@@ -126,3 +126,29 @@ def test_pygsp_dataset_to_batch_and_pool():
     pooler = get_pooler("graclus")
     out = pooler(batch)
     assert out.x.shape[0] > 0
+
+
+def test_graph_loader_short_dataset_cycles_to_static_batch():
+    """Datasets smaller than a batch: batches are padded by cycling the
+    graph order, stay at exactly batch_size graphs, and fit the computed
+    budgets (regression: repeat-padding under-filled the batch and
+    overflowed the node budget)."""
+    import jax.numpy as jnp
+
+    from tgp_tpu.data.loaders import GraphLoader, compute_budgets
+    from tests.utils_graphs import erdos_renyi_graph
+
+    graphs = [erdos_renyi_graph(5 + i, p=0.5, num_features=3, seed=i)
+              for i in range(4)]
+    B = 11
+    loader = GraphLoader(graphs, np.arange(4), batch_size=B)
+    pn, pe, mx = compute_budgets(graphs, B)
+    assert loader.pad_nodes == pn
+    batches = list(loader._iter_with_indices())
+    assert len(batches) == 1
+    batch, y, idx = batches[0]
+    assert len(idx) == B                       # static batch size
+    assert batch.num_graphs == B
+    assert int(np.asarray(batch.node_mask).sum()) <= pn
+    # every original graph appears at least once
+    assert set(np.asarray(idx)) == {0, 1, 2, 3}

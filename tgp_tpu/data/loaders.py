@@ -29,8 +29,18 @@ def compute_budgets(graphs: Sequence, batch_size: int,
     ``batch_size``-sized batch of ``graphs``."""
     n_per = sorted((g[0].shape[0] for g in graphs), reverse=True)
     e_per = sorted((g[1].shape[1] for g in graphs), reverse=True)
-    pad_nodes = _ceil_to(sum(n_per[:batch_size]), node_multiple)
-    pad_edges = _ceil_to(max(sum(e_per[:batch_size]), 1), edge_multiple)
+    L = len(n_per)
+    if batch_size >= L:
+        # short datasets: batches are padded by cycling the graph list, so
+        # each graph can appear up to ceil(B/L) times
+        reps, rem = divmod(batch_size, L)
+        worst_n = reps * sum(n_per) + sum(n_per[:rem])
+        worst_e = reps * sum(e_per) + sum(e_per[:rem])
+    else:
+        worst_n = sum(n_per[:batch_size])
+        worst_e = sum(e_per[:batch_size])
+    pad_nodes = _ceil_to(worst_n, node_multiple)
+    pad_edges = _ceil_to(max(worst_e, 1), edge_multiple)
     return pad_nodes, pad_edges, n_per[0]
 
 
@@ -71,8 +81,9 @@ class GraphLoader:
         B = self.batch_size
         for start in range(0, len(order), B):
             idx = order[start : start + B]
-            if len(idx) < B:  # keep B static: pad by repeating graphs
-                idx = np.concatenate([idx, order[: B - len(idx)]])
+            if len(idx) < B:  # keep B static: pad by cycling the order
+                idx = np.take(order, np.arange(start, start + B),
+                              mode="wrap")
             batch = from_graphs(
                 [self.graphs[i] for i in idx],
                 pad_nodes=self.pad_nodes, pad_edges=self.pad_edges,
