@@ -199,3 +199,17 @@ def test_precoarsen_degenerate_graphs(alias, kw, case):
         if ei_p.size:
             assert ei_p.max() < lvl["num_clusters"]
             assert np.isfinite(np.asarray(lvl["edge_weight"])).all()
+
+
+def test_pooled_loader_short_dataset_cycles():
+    """PooledGraphLoader on a dataset smaller than one batch: level budgets
+    must bound the cycled batch (same regression as GraphLoader)."""
+    tf = PreCoarsening(poolers="graclus", levels=1)
+    graphs = [tf(g) for g in _graphs(3)]
+    loader = PooledGraphLoader(graphs, np.arange(3), batch_size=8)
+    for batch, levels, y in loader:
+        assert batch.num_graphs == 8
+        lb = levels[0]
+        x_pool = base_reduce(batch.x, lb.so)
+        assert np.isfinite(np.asarray(x_pool)).all()
+        break

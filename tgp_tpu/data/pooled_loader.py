@@ -250,15 +250,23 @@ class PooledGraphLoader:
                                        shuffle=shuffle, seed=seed)
         self.batch_size = batch_size
 
-        # per-level dataset-wide budgets
+        # per-level dataset-wide budgets (bounding the cycled worst case —
+        # short datasets pad batches by cycling the graph order)
+        def _worst(per, B):
+            L = len(per)
+            if B >= L:
+                reps, rem = divmod(B, L)
+                return reps * sum(per) + sum(per[:rem])
+            return sum(per[:B])
+
         self.level_budgets = []
         for lvl in range(self.num_levels):
             ks = sorted((int(l[lvl]["num_clusters"])
                          for l in self.levels_per_graph), reverse=True)
             es = sorted((int(np.asarray(l[lvl]["edge_index"]).shape[1])
                          for l in self.levels_per_graph), reverse=True)
-            pad_c = _ceil_to(max(sum(ks[:batch_size]), 1), 8)
-            pad_e = _ceil_to(max(sum(es[:batch_size]), 1), 128)
+            pad_c = _ceil_to(max(_worst(ks, batch_size), 1), 8)
+            pad_e = _ceil_to(max(_worst(es, batch_size), 1), 128)
             self.level_budgets.append((pad_c, pad_e, ks[0]))
 
     def __len__(self):
