@@ -193,3 +193,38 @@ def test_gcnconv_dense_pre_normalized_matches_manual():
     W = np.asarray(params["params"]["Dense_0"]["kernel"])
     expect = adj @ (x @ W)
     np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("delta", [0.5, 1.0, 2.0])
+def test_gtvconv_matches_numpy_oracle(delta):
+    """GTVConv dense path against a manual float64 transcription of
+    act((I − δ·L_Γ)XW + b), Γ_ij = a_ij / max(|x_iW − x_jW|₁, ε)
+    (reference gtvconv.py:43-170)."""
+    from tgp_tpu.graph import from_graphs, to_dense
+    from tgp_tpu.mp.gtvconv import GTVConv
+
+    rng = np.random.default_rng(3)
+    n = 7
+    upper = np.triu(rng.random((n, n)) < 0.5, k=1)
+    adj_np = (upper | upper.T).astype(np.float64)
+    s, r = np.nonzero(adj_np)
+    x_np = rng.normal(size=(n, 5)).astype(np.float32)
+    b = from_graphs([(x_np, np.stack([s, r]))])
+    d = to_dense(b)
+
+    conv = GTVConv(out_channels=4, delta_coeff=delta, act=None)
+    params = conv.init(jax.random.key(0), d)
+    out = np.asarray(conv.apply(params, d))[0, :n]
+
+    W = np.asarray(params["params"]["weight"], np.float64)
+    bias = np.asarray(params["params"]["bias"], np.float64)
+    h = x_np.astype(np.float64) @ W
+    diff = np.abs(h[:, None, :] - h[None, :, :]).sum(-1)
+    gamma = np.where(adj_np != 0, adj_np / np.clip(diff, 1e-3, None), 0.0)
+    lap = np.diag(gamma.sum(1)) - gamma
+    expect = (np.eye(n) - delta * lap) @ h + bias
+    np.testing.assert_allclose(out, expect, rtol=2e-4, atol=2e-5)
+
+    # sparse path agrees with the same oracle
+    out_sp = np.asarray(conv.apply(params, b))[:n]
+    np.testing.assert_allclose(out_sp, expect, rtol=2e-4, atol=2e-5)
