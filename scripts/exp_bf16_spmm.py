@@ -58,11 +58,11 @@ def run(N=65536, E=1048576, F=128):
             float(outs[-1])
             t_four = time.perf_counter() - t0
             dt = max(t_four - t_one, 1e-9) / (3 * ITERS)
-            bytes_per = np.dtype(
-                "float32" if dtype == jnp.float32 else "float16").itemsize
-            print(f"{np.dtype('uint16').name and dtype.__name__:9s} "
-                  f"{name:10s}: {dt*1e3:7.3f} ms  {E/dt/1e9:6.2f} Gedge/s  "
-                  f"eff-BW {(E*F*bytes_per*2 + N*F*bytes_per)/dt/1e9:6.0f} GB/s",
+            bytes_per = 4 if dtype == jnp.float32 else 2
+            label = "f32" if dtype == jnp.float32 else "bf16"
+            print(f"{label:5s} {name:10s}: {dt*1e3:7.3f} ms  "
+                  f"{E/dt/1e9:6.2f} Gedge/s  eff-BW "
+                  f"{(E*F*bytes_per*2 + N*F*bytes_per)/dt/1e9:6.0f} GB/s",
                   flush=True)
 
 
