@@ -103,3 +103,23 @@ def test_remat_gradient_invariance(batch, dense_path):
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_fast_dense_bf16_remat_combo(batch):
+    """compute_dtype=bf16 composes with remat (the two TPU memory levers
+    stack): jit forward and grads stay finite, logits come out f32."""
+    from tgp_tpu.graph import to_dense
+    from tgp_tpu.models.fast_dense import DenseTopkClassifier
+
+    d = to_dense(batch)
+    m = DenseTopkClassifier(num_classes=3, hidden=16,
+                            compute_dtype=jnp.bfloat16, remat=True,
+                            num_pre_layers=2)
+    p = m.init(jax.random.key(0), d)
+    logits, _ = jax.jit(lambda p, d: m.apply(p, d))(p, d)
+    assert logits.dtype == jnp.float32
+    assert np.isfinite(np.asarray(logits, np.float32)).all()
+    g = jax.grad(lambda p: jnp.sum(
+        m.apply(p, d)[0].astype(jnp.float32) ** 2))(p)
+    assert all(np.isfinite(np.asarray(l, np.float32)).all()
+               for l in jax.tree_util.tree_leaves(g))
