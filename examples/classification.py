@@ -92,7 +92,7 @@ def main(alias: str = "topk", epochs: int = 20, batch_size: int = 32,
     # stochastic poolers (BNPool's reparameterized Beta sampling) draw from
     # a "sample" PRNG stream — thread it like the reference threads
     # torch.Generator state
-    needs_sample = alias == "bnpool"
+    needs_sample = alias.startswith("bnpool")
     init_rngs = {"params": jax.random.key(seed)}
     if needs_sample:
         init_rngs["sample"] = jax.random.key(seed + 1)

@@ -40,7 +40,7 @@ def bench_pooler(alias, batch, iters=10):
     kw = dict(in_channels=batch.num_features, ratio=0.5, k=16)
     pooler = get_pooler(alias, **kw)
     rngs = {"params": jax.random.key(0)}
-    if alias == "bnpool":
+    if alias.startswith("bnpool"):
         rngs["sample"] = jax.random.key(1)
     params = pooler.init(rngs, batch)
 
