@@ -25,6 +25,16 @@ __all__ = ["make_mesh", "stack_batches", "make_dp_train_step"]
 def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
+    if n > len(devs):
+        # fail loudly: silently truncating produces a size-1 mesh whose
+        # shard_map runs the per-device body on the WHOLE input with wrong
+        # partition metadata (e.g. host-side partition_edges computed for n
+        # devices) — numerically wrong, not just slow
+        raise ValueError(
+            f"make_mesh({n}) but only {len(devs)} JAX device(s) visible "
+            f"({jax.default_backend()}); set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n} and "
+            f"force the cpu platform for virtual-device runs")
     return Mesh(np.asarray(devs[:n]), (axis,))
 
 
