@@ -101,3 +101,11 @@ def test_ring_halo_spmm_matches(mesh):
         out = fn(jnp.asarray(x_pad), S, R, W)
     np.testing.assert_allclose(np.asarray(out)[:n], expect, rtol=1e-4,
                                atol=1e-4)
+
+
+def test_make_mesh_raises_on_too_few_devices():
+    """Silently truncating to the available device count produced a size-1
+    mesh whose shard_map ran with partition metadata computed for N devices
+    (numerically wrong) — make_mesh must fail loudly instead."""
+    with pytest.raises(ValueError, match="only .* visible"):
+        make_mesh(len(jax.devices()) + 1)
