@@ -152,3 +152,81 @@ def test_graph_loader_short_dataset_cycles_to_static_batch():
     assert int(np.asarray(batch.node_mask).sum()) <= pn
     # every original graph appears at least once
     assert set(np.asarray(idx)) == {0, 1, 2, 3}
+
+
+# ---- Gset / Multipartite / CSBM (reference: tgp/datasets/gset.py:11-183,
+# multipartite_graph.py:7-60, csbm.py:227-385) ------------------------------
+
+
+def test_parse_gset(tmp_path):
+    f = tmp_path / "G99"
+    f.write_text("3 2\n1 2 1\n2 3 -1\n")
+    from tgp_tpu.datasets.gset import parse_gset
+
+    x, ei, ew = parse_gset(f)
+    assert x.shape == (3, 1)
+    assert ei.shape == (2, 4)  # undirected: both directions materialized
+    # weights mirrored per direction
+    assert sorted(ew.tolist()) == [-1.0, -1.0, 1.0, 1.0]
+    # degree features normalized to max degree (node 1 touches both edges)
+    assert x.max() == 1.0
+    pairs = set(map(tuple, ei.T.tolist()))
+    assert (0, 1) in pairs and (1, 0) in pairs and (1, 2) in pairs
+
+
+def test_gset_dataset_missing_raises(tmp_path):
+    from tgp_tpu.datasets.gset import GsetDataset
+
+    with pytest.raises(RuntimeError, match="not found and download failed"):
+        GsetDataset(name="G0", root=str(tmp_path / "nowhere")).load()
+
+
+def test_multipartite_structure():
+    from tgp_tpu.datasets.multipartite import MultipartiteGraphDataset
+
+    ds = MultipartiteGraphDataset(parts=(3, 4, 5), feature_dim=6, seed=1)
+    assert len(ds) == 1
+    x, ei, labels = ds[0]
+    n = 12
+    assert x.shape == (n, 6) and labels.shape == (n,)
+    # complete multipartite: exactly the cross-part ordered pairs
+    expect = sum(p * (n - p) for p in (3, 4, 5))
+    assert ei.shape == (2, expect)
+    assert (labels[ei[0]] != labels[ei[1]]).all()
+
+
+@pytest.mark.parametrize("gmm", [1, 3])
+def test_csbm_shapes_and_connectivity(gmm):
+    import scipy.sparse as sp
+    import scipy.sparse.csgraph as csgraph
+
+    from tgp_tpu.datasets.csbm import CSBMDataset
+
+    ds = CSBMDataset(num_graphs=2, num_nodes=40, num_communities=3,
+                     p_in=0.5, p_out=0.05, feature_dim=5,
+                     gmm_components=gmm, seed=3)
+    assert len(ds) == 2
+    for x, ei, comm in ds:
+        assert x.shape == (40, 5) and comm.shape == (40,)
+        assert comm.min() >= 0 and comm.max() < 3
+        # symmetric, self-loop-free, connected (require_connected default)
+        adj = sp.csr_matrix((np.ones(ei.shape[1]), (ei[0], ei[1])),
+                            shape=(40, 40))
+        assert (adj != adj.T).nnz == 0
+        assert adj.diagonal().sum() == 0
+        assert csgraph.connected_components(
+            adj, directed=False, return_labels=False) == 1
+
+
+def test_csbm_community_signal_separates_features():
+    """mu scales the community mean — with a large mu, nearest-centroid on
+    the features should recover the communities (the dataset's whole
+    point for clustering benchmarks)."""
+    from tgp_tpu.datasets.csbm import CSBMDataset
+
+    x, _, comm = CSBMDataset(num_nodes=120, num_communities=3, mu=8.0,
+                             feature_dim=8, seed=0)[0]
+    cents = np.stack([x[comm == c].mean(0) for c in range(3)])
+    pred = np.argmin(
+        ((x[:, None, :] - cents[None]) ** 2).sum(-1), axis=1)
+    assert (pred == comm).mean() > 0.95
