@@ -230,3 +230,96 @@ def test_csbm_community_signal_separates_features():
     pred = np.argmin(
         ((x[:, None, :] - cents[None]) ** 2).sum(-1), axis=1)
     assert (pred == comm).mean() > 0.95
+
+
+# ---- BucketedGraphLoader (TPU-native bucketed padding, SURVEY §7) ---------
+
+
+def _skewed_graphs(seed=0):
+    rng = np.random.default_rng(seed)
+    graphs = []
+    for n in [4] * 12 + [8] * 12 + [40] * 4:
+        e = max(2 * n, 4)
+        ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)])
+        graphs.append((rng.normal(size=(n, 3)).astype(np.float32),
+                       ei.astype(np.int64)))
+    return graphs
+
+
+def test_bucketed_loader_reduces_padding():
+    from tgp_tpu.data.loaders import BucketedGraphLoader, GraphLoader
+
+    graphs = _skewed_graphs()
+    flat = GraphLoader(graphs, batch_size=4)
+    buck = BucketedGraphLoader(graphs, batch_size=4, num_buckets=4)
+    flat_nodes = sum(b.x.shape[0] for b in flat)
+    buck_nodes = sum(b.x.shape[0] for b in buck)
+    assert buck_nodes < 0.6 * flat_nodes  # big win on a skewed dataset
+    # bounded executables: at most num_buckets distinct static shapes
+    shapes = {(b.x.shape, b.senders.shape) for b in buck}
+    assert len(shapes) <= 4
+
+
+def test_bucketed_loader_covers_every_graph_once_per_epoch():
+    from tgp_tpu.data.loaders import BucketedGraphLoader
+
+    graphs = _skewed_graphs()
+    y = np.arange(len(graphs))
+    loader = BucketedGraphLoader(graphs, y, batch_size=4, num_buckets=3,
+                                 shuffle=True, seed=7)
+    seen = np.concatenate([yy for _, yy in loader])
+    # full-size buckets: every graph exactly once (28 graphs, B=4 divides
+    # each bucket after the quantile split merges equal budgets)
+    assert len(loader) == len(list(iter(loader)))
+    assert set(seen.tolist()) == set(range(len(graphs)))
+
+
+def test_bucketed_loader_uniform_dataset_collapses_to_one_bucket():
+    from tgp_tpu.data.loaders import BucketedGraphLoader
+
+    rng = np.random.default_rng(0)
+    graphs = []
+    for _ in range(8):
+        ei = np.stack([rng.integers(0, 6, 12), rng.integers(0, 6, 12)])
+        graphs.append((rng.normal(size=(6, 3)).astype(np.float32),
+                       ei.astype(np.int64)))
+    loader = BucketedGraphLoader(graphs, batch_size=4, num_buckets=4)
+    assert len(loader.budgets) == 1  # equal budgets merged
+
+
+def test_bucketed_loader_short_bucket_cycles_to_static_batch():
+    from tgp_tpu.data.loaders import BucketedGraphLoader
+
+    graphs = _skewed_graphs()[:7]  # bucket sizes not divisible by B
+    loader = BucketedGraphLoader(graphs, np.arange(7), batch_size=4,
+                                 num_buckets=2)
+    for batch, y in loader:
+        assert len(y) == 4  # B stays static via in-bucket cycling
+        assert batch.num_graphs == 4
+
+
+def test_bucketed_loader_trains_jit():
+    """End-to-end: the bucketed stream drives a jitted forward with one
+    compile per bucket shape."""
+    import jax
+
+    from tgp_tpu.data.loaders import BucketedGraphLoader
+    from tgp_tpu.models.classifiers import PoolingClassifier
+    from tgp_tpu.poolers import get_pooler
+
+    graphs = _skewed_graphs()
+    y = np.array([i % 3 for i in range(len(graphs))])
+    loader = BucketedGraphLoader(graphs, y, batch_size=4, num_buckets=3)
+    pooler = get_pooler("topk", in_channels=8, ratio=0.5)
+    model = PoolingClassifier(pooler=pooler, num_classes=3, hidden=8)
+    first = next(iter(loader))[0]
+    params = model.init(jax.random.key(0), first)
+
+    @jax.jit
+    def fwd(p, b):
+        return model.apply(p, b)[0]
+
+    for batch, yy in loader:
+        logits = fwd(params, batch)
+        assert logits.shape == (4, 3)
+        assert np.isfinite(np.asarray(logits)).all()

@@ -15,7 +15,7 @@ import numpy as np
 
 from tgp_tpu.graph import GraphBatch, from_graphs
 
-__all__ = ["GraphLoader", "compute_budgets"]
+__all__ = ["GraphLoader", "BucketedGraphLoader", "compute_budgets"]
 
 
 def _ceil_to(v: int, m: int) -> int:
@@ -96,5 +96,78 @@ class GraphLoader:
         for batch, y, _ in self._iter_with_indices():
             if y is not None:
                 yield batch, y
+            else:
+                yield batch
+
+
+class BucketedGraphLoader:
+    """Size-bucketed minibatch iterator (SURVEY §7: "bucketed padding of
+    N/E per batch").
+
+    A single global padding budget (``GraphLoader``) pays the worst-case
+    batch's padding on EVERY batch — on size-skewed datasets most rows are
+    dead padding.  Bucketing sorts graphs by node count into
+    ``num_buckets`` quantile buckets and batches within a bucket, so each
+    bucket gets its own (much tighter) static budget.  The trade is a
+    bounded number of compiled executables: at most ``num_buckets`` distinct
+    input shapes, known up front via :attr:`budgets`.
+
+    Yields the same ``(GraphBatch, labels)`` pairs as :class:`GraphLoader`;
+    batch order interleaves buckets (shuffled per epoch when ``shuffle``).
+    """
+
+    def __init__(self, graphs: Sequence, labels: Optional[np.ndarray] = None,
+                 batch_size: int = 32, num_buckets: int = 4,
+                 shuffle: bool = False, seed: int = 0):
+        self.graphs = list(graphs)
+        self.labels = None if labels is None else np.asarray(labels)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+
+        sizes = np.array([g[0].shape[0] for g in self.graphs])
+        order = np.argsort(sizes, kind="stable")
+        num_buckets = max(1, min(num_buckets, len(order)))
+        # contiguous quantile buckets over the size-sorted order; merge
+        # buckets that share a budget (uniform datasets collapse to one)
+        splits = np.array_split(order, num_buckets)
+        self.buckets: List[np.ndarray] = []
+        self.budgets: List[Tuple[int, int, int]] = []
+        for part in splits:
+            if len(part) == 0:
+                continue
+            budget = compute_budgets([self.graphs[i] for i in part],
+                                     batch_size)
+            if self.budgets and budget == self.budgets[-1]:
+                self.buckets[-1] = np.concatenate([self.buckets[-1], part])
+            else:
+                self.buckets.append(part)
+                self.budgets.append(budget)
+
+    def __len__(self) -> int:
+        B = self.batch_size
+        return sum((len(b) + B - 1) // B for b in self.buckets)
+
+    def __iter__(self) -> Iterator:
+        B = self.batch_size
+        chunks = []  # (bucket_id, index array) per batch
+        for bi, bucket in enumerate(self.buckets):
+            idx = bucket.copy()
+            if self.shuffle:
+                self.rng.shuffle(idx)
+            for start in range(0, len(idx), B):
+                sel = idx[start : start + B]
+                if len(sel) < B:  # keep B static: cycle within the bucket
+                    sel = np.take(idx, np.arange(start, start + B),
+                                  mode="wrap")
+                chunks.append((bi, sel))
+        if self.shuffle:
+            self.rng.shuffle(chunks)
+        for bi, sel in chunks:
+            pn, pe, mx = self.budgets[bi]
+            batch = from_graphs([self.graphs[i] for i in sel],
+                                pad_nodes=pn, pad_edges=pe, max_nodes=mx)
+            if self.labels is not None:
+                yield batch, np.asarray(self.labels[sel])
             else:
                 yield batch
