@@ -123,3 +123,19 @@ def test_sorted_segment_sum_bf16_input_interpret():
     assert out.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(out, np.float32), expect,
                                rtol=3e-2, atol=3e-2)
+
+
+def test_auto_blocks_selection():
+    """Measured-best defaults (exp_kernel_sweep): 256-row blocks when the
+    row count allows, 2048-edge chunks for large E within a ~4MB VMEM
+    budget, legacy 128/512 otherwise."""
+    from tgp_tpu.ops.pallas.segment_spmm import _auto_blocks
+
+    assert _auto_blocks(1 << 20, 128, 65536, 2) == (256, 2048)
+    assert _auto_blocks(1 << 20, 128, 65536 + 128, 2) == (128, 2048)
+    assert _auto_blocks(1000, 128, 256, 2) == (256, 512)
+    # VMEM guard: wide features shrink the edge chunk (multiple of 128)
+    br, be = _auto_blocks(1 << 20, 512, 65536, 4)
+    assert be * 512 * 4 * 2 <= 4 * 1024 * 1024 and be % 128 == 0
+    # floor: never below 512 even for very wide rows
+    assert _auto_blocks(1 << 20, 4096, 65536, 4)[1] == 512
