@@ -63,3 +63,10 @@ def test_classification_pan():
 
     acc = main(epochs=5, verbose=False)
     assert acc > 0.4
+
+
+def test_inference_serving():
+    from examples.inference import main
+
+    acc = main("topk", epochs=6, verbose=False)
+    assert acc > 0.6
