@@ -1,6 +1,7 @@
 """Negative edge sampling tests (BNPool's sparse reconstruction)."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from tgp_tpu.ops.sampling import negative_edge_sampling
@@ -73,3 +74,99 @@ def test_bnpool_num_neg_samples_cap():
     # fewer negatives -> a different (valid, finite) reconstruction loss
     assert np.isfinite(float(l_cap["quality"]))
     assert float(l_cap["quality"]) != float(l_un["quality"])
+
+
+def test_rejection_resampling_survives_dense_graphs():
+    """On a ~60%-dense graph most first draws collide — the fixed-round
+    resampling (reference semantics, tgp/utils/ops.py:636-765) must still
+    deliver mostly-valid negatives, and every valid one must be a real
+    non-edge."""
+    import jax
+
+    from tgp_tpu.graph import from_graphs
+    from tgp_tpu.ops.sampling import negative_edge_sampling
+
+    rng = np.random.default_rng(0)
+    n = 20
+    adj = rng.random((n, n)) < 0.6
+    np.fill_diagonal(adj, False)
+    s, r = np.nonzero(adj)
+    x = rng.normal(size=(n, 3)).astype(np.float32)
+    batch = from_graphs([(x, np.stack([s, r]).astype(np.int64))])
+    ns, nr, m = negative_edge_sampling(jax.random.key(0), batch,
+                                       num_rounds=6)
+    ns, nr, m = map(np.asarray, (ns, nr, m))
+    valid = m & np.asarray(batch.edge_mask)
+    assert valid.mean() > 0.8  # resampling, not mask-only
+    for a, b in zip(ns[valid], nr[valid]):
+        assert a != b and not adj[a, b]
+
+
+def test_force_undirected_excludes_reverse_edges():
+    import jax
+
+    from tgp_tpu.graph import from_graphs
+    from tgp_tpu.ops.sampling import negative_edge_sampling
+
+    rng = np.random.default_rng(1)
+    n = 30
+    # directed edges only (i -> i+1): reverse pairs are non-edges unless
+    # force_undirected treats them as present
+    s = np.arange(n - 1)
+    r = np.arange(1, n)
+    x = rng.normal(size=(n, 2)).astype(np.float32)
+    batch = from_graphs([(x, np.stack([s, r]).astype(np.int64))])
+    ns, nr, m = negative_edge_sampling(jax.random.key(3), batch,
+                                       num_rounds=8, force_undirected=True)
+    ns, nr, m = map(np.asarray, (ns, nr, m))
+    valid = m & np.asarray(batch.edge_mask)
+    fwd = set(zip(s.tolist(), r.tolist()))
+    for a, b in zip(ns[valid], nr[valid]):
+        assert (a, b) not in fwd and (b, a) not in fwd
+
+
+def test_bipartite_negative_sampling():
+    import jax
+
+    from tgp_tpu.ops.sampling import bipartite_negative_edge_sampling
+
+    rng = np.random.default_rng(2)
+    num_src, num_dst, E = 12, 9, 40
+    s = rng.integers(0, num_src, E).astype(np.int32)
+    r = rng.integers(0, num_dst, E).astype(np.int32)
+    mask = np.ones(E, bool)
+    edges = set(zip(s.tolist(), r.tolist()))
+    ns, nr, m = bipartite_negative_edge_sampling(
+        jax.random.key(0), jnp.asarray(s), jnp.asarray(r),
+        jnp.asarray(mask), num_src, num_dst, num_samples=64, num_rounds=5)
+    ns, nr, m = map(np.asarray, (ns, nr, m))
+    assert ns.shape == (64,)
+    assert m.mean() > 0.8
+    for a, b in zip(ns[m], nr[m]):
+        assert 0 <= a < num_src and 0 <= b < num_dst
+        assert (a, b) not in edges
+    # self pairs allowed: distinct node sets (reference ops.py:652-660)
+
+
+def test_negative_sampling_density_sweep():
+    """Valid-negative fraction stays high across edge densities (the
+    reference sweeps density in test_ops.py:493-534)."""
+    import jax
+
+    from tgp_tpu.graph import from_graphs
+    from tgp_tpu.ops.sampling import negative_edge_sampling
+
+    rng = np.random.default_rng(3)
+    for p in (0.05, 0.2, 0.5):
+        n = 24
+        adj = rng.random((n, n)) < p
+        np.fill_diagonal(adj, False)
+        s, r = np.nonzero(adj)
+        if s.size == 0:
+            continue
+        x = rng.normal(size=(n, 2)).astype(np.float32)
+        batch = from_graphs([(x, np.stack([s, r]).astype(np.int64))])
+        _, _, m = negative_edge_sampling(jax.random.key(1), batch,
+                                         num_rounds=6)
+        frac = float(np.asarray(m)[np.asarray(batch.edge_mask)].mean())
+        assert frac > 0.7, (p, frac)
