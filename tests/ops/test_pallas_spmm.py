@@ -137,5 +137,8 @@ def test_auto_blocks_selection():
     # VMEM guard: wide features shrink the edge chunk (multiple of 128)
     br, be = _auto_blocks(1 << 20, 512, 65536, 4)
     assert be * 512 * 4 * 2 <= 4 * 1024 * 1024 and be % 128 == 0
-    # floor: never below 512 even for very wide rows
-    assert _auto_blocks(1 << 20, 4096, 65536, 4)[1] == 512
+    # VMEM safety beats the 512-edge throughput floor for very wide rows:
+    # 512 edges at F=4096 f32 is 16 MB double-buffered (> VMEM)
+    be_wide = _auto_blocks(1 << 20, 4096, 65536, 4)[1]
+    assert be_wide == 128
+    assert be_wide * 4096 * 4 * 2 <= 4 * 1024 * 1024

@@ -139,7 +139,15 @@ class BucketedGraphLoader:
             budget = compute_budgets([self.graphs[i] for i in part],
                                      batch_size)
             if self.budgets and budget == self.budgets[-1]:
-                self.buckets[-1] = np.concatenate([self.buckets[-1], part])
+                # Equal per-part budgets do NOT imply the union obeys them:
+                # edge counts are not ordered by the node-size sort, so a
+                # shuffled batch mixing both parts' heavy-edge graphs can
+                # exceed pad_edges.  Re-budget over the union so merged
+                # buckets stay safe under any within-bucket batch.
+                merged = np.concatenate([self.buckets[-1], part])
+                self.buckets[-1] = merged
+                self.budgets[-1] = compute_budgets(
+                    [self.graphs[i] for i in merged], batch_size)
             else:
                 self.buckets.append(part)
                 self.budgets.append(budget)

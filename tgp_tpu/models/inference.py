@@ -29,6 +29,8 @@ __all__ = ["Predictor", "geometric_budget"]
 
 def geometric_budget(n: int, base: int = 64, growth: float = 2.0) -> int:
     """Smallest ``base·growth^k`` ≥ ``n`` — the bucket ceiling for a size."""
+    if growth <= 1.0:
+        raise ValueError(f"growth must be > 1.0, got {growth}")
     b = float(base)
     while b < n:
         b *= growth
@@ -61,11 +63,18 @@ class Predictor:
         self.node_base = int(node_base)
         self.edge_base = int(edge_base)
         self.sort_edges = sort_edges
+        self._seen_buckets: set = set()
 
     @property
     def num_compiled(self) -> int:
-        """Distinct executables compiled so far (cache telemetry)."""
-        return self._apply._cache_size()
+        """Distinct executables compiled so far (cache telemetry).
+
+        Counted by distinct (pad_nodes, pad_edges, max_nodes) budget tuples
+        served — one compile each, since batch_size is fixed.  (jit's
+        private ``_cache_size`` is version-dependent; own counter is
+        stable.)
+        """
+        return len(self._seen_buckets)
 
     def _budget(self, graphs: Sequence) -> tuple[int, int, int]:
         ns = [g[0].shape[0] for g in graphs]
@@ -77,6 +86,8 @@ class Predictor:
 
     def __call__(self, graphs: Sequence) -> np.ndarray:
         B = self.batch_size
+        if len(graphs) == 0:
+            return np.empty((0,), dtype=np.float32)
         outs = []
         for start in range(0, len(graphs), B):
             chunk = list(graphs[start : start + B])
@@ -85,6 +96,7 @@ class Predictor:
                 chunk.append(chunk[-1])
             # budget from the padded chunk so repeats can't overflow
             pn, pe, mx = self._budget(chunk)
+            self._seen_buckets.add((pn, pe, mx))
             batch = from_graphs(chunk, pad_nodes=pn, pad_edges=pe,
                                 max_nodes=mx, sort_edges=self.sort_edges)
             out = np.asarray(self._apply(self._params, batch))

@@ -97,12 +97,12 @@ def _auto_blocks(E: int, F: int, num_rows: int, itemsize: int):
     E=1M/F=128/bf16: 4.94 ms at 128/512 → 4.64 ms at 256/2048), guarded by
     divisibility and a ~4 MB VMEM budget for the double-buffered msgs."""
     block_rows = 256 if num_rows % 256 == 0 else 128
-    if E >= 1 << 18:
-        budget = 4 * 1024 * 1024  # 2 buffers within ~1/4 of VMEM
-        block_edges = min(2048, max(512, budget // (2 * F * itemsize)))
-        block_edges = (block_edges // 128) * 128
-    else:
-        block_edges = 512
+    budget = 4 * 1024 * 1024  # 2 double-buffered msg buffers ≤ ~1/4 of VMEM
+    # VMEM-safe edge-chunk cap — for very wide F this drops below the
+    # throughput-preferred 512 floor; VMEM safety wins (a 512-edge chunk at
+    # F=4096 f32 would be 16 MB double-buffered and overflow VMEM)
+    cap = max((budget // (2 * F * itemsize)) // 128 * 128, 128)
+    block_edges = min(2048 if E >= 1 << 18 else 512, cap)
     return block_rows, block_edges
 
 

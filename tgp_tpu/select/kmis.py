@@ -206,7 +206,15 @@ class KMISSelect(nn.Module):
             return weighted_degree(batch.receivers, batch.edge_weight,
                                    batch.num_nodes, mask=batch.edge_mask)
         if self.scorer == "random":
-            # deterministic pseudo-random from node index (jit-safe)
+            # Reference semantics (kmis_select.py: fresh ``torch.rand`` per
+            # forward): draw from the 'sample' PRNG stream when the caller
+            # provides one (``model.apply(..., rngs={'sample': key})``).
+            # Without a stream, fall back to a deterministic index hash so
+            # un-keyed applies stay jit-safe and reproducible (documented in
+            # docs/migration.md).
+            if self.has_rng("sample"):
+                return jax.random.uniform(self.make_rng("sample"),
+                                          (batch.num_nodes,))
             return jnp.sin(jnp.arange(batch.num_nodes) * 12.9898) * 43758.5453 % 1.0
         raise ValueError(f"unknown scorer {self.scorer!r}")
 
