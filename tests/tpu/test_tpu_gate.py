@@ -1,0 +1,247 @@
+"""On-chip verification lane (VERDICT r2 #1): every Pallas kernel plus both
+train pipelines compiled and executed on the REAL TPU, asserted against
+XLA/oracle results at documented tolerances.
+
+Run with ``python scripts/tpu_gate.py`` (sets ``TGP_TPU_GATE=1`` so
+tests/conftest.py leaves the TPU backend active).  Under the normal CPU
+test gate these are auto-skipped.
+
+Tolerances (RESULTS.md round-2/3 measurements):
+  - sorted-CSR segment-sum @ DEFAULT precision: one-hot selection is exact
+    in bf16, accumulation f32; error comes from bf16 truncation of f32
+    messages → ≤5e-3 relative-to-peak.
+  - bf16 messages: input already bf16 → same envelope.
+  - banded SDDMM @ HIGHEST: 3.7e-5 max rel err measured → gate at 1e-3.
+  - bmm_pallas: bf16 MXU operands, f32 accumulation → 5e-3 rel-to-peak.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+pytestmark = pytest.mark.tpu
+
+
+def _rel_to_peak(got, want):
+    got = np.asarray(got, np.float32)
+    want = np.asarray(want, np.float32)
+    peak = max(np.abs(want).max(), 1e-12)
+    return np.abs(got - want).max() / peak
+
+
+def _sorted_workload(E=8192, N=1024, F=128, seed=0, dtype=np.float32):
+    rng = np.random.default_rng(seed)
+    rids = np.sort(rng.integers(0, N, E)).astype(np.int32)
+    msgs = rng.normal(size=(E, F)).astype(dtype)
+    return jnp.asarray(msgs), jnp.asarray(rids)
+
+
+# ---- sorted-CSR segment-sum kernel ------------------------------------------
+
+@pytest.mark.parametrize("dtype", [np.float32, np.dtype("bfloat16")])
+def test_sorted_segment_sum_on_chip(dtype):
+    from tgp_tpu.ops.pallas.segment_spmm import segment_sum_sorted
+
+    msgs, rids = _sorted_workload(dtype=np.float32)
+    msgs = msgs.astype(dtype)
+    N = 1024
+    out = jax.jit(lambda m, r: segment_sum_sorted(m, r, N))(msgs, rids)
+    want = jax.ops.segment_sum(msgs.astype(jnp.float32), rids, num_segments=N)
+    assert _rel_to_peak(out, want) < 5e-3
+
+
+def test_sorted_segment_sum_grad_on_chip():
+    from tgp_tpu.ops.pallas.segment_spmm import segment_sum_sorted
+
+    msgs, rids = _sorted_workload(E=2048, N=256)
+    N = 256
+    cot = jnp.asarray(
+        np.random.default_rng(1).normal(size=(N, 128)).astype(np.float32))
+
+    def loss(m):
+        return jnp.sum(segment_sum_sorted(m, rids, N) * cot)
+
+    g = jax.jit(jax.grad(loss))(msgs)
+    want = cot[np.asarray(rids)]  # VJP of segment-sum = gather
+    assert _rel_to_peak(g, want) < 5e-3
+
+
+# ---- fused banded SpMM kernel ------------------------------------------------
+
+def test_banded_spmm_on_chip():
+    from tgp_tpu.ops.pallas.segment_spmm import spmm_banded
+
+    rng = np.random.default_rng(2)
+    N, E, F = 512, 4096, 128
+    r = np.sort(rng.integers(0, N, E)).astype(np.int32)
+    # band contract: senders within a ±200 window of the receiver
+    s = np.clip(r + rng.integers(-200, 200, E), 0, N - 1).astype(np.int32)
+    w = rng.normal(size=E).astype(np.float32)
+    x = rng.normal(size=(N, F)).astype(np.float32)
+    out = jax.jit(
+        lambda x, s, r, w: spmm_banded(x, s, r, w, N, window=512)
+    )(jnp.asarray(x), jnp.asarray(s), jnp.asarray(r), jnp.asarray(w))
+    want = jax.ops.segment_sum(jnp.asarray(x)[s] * w[:, None],
+                               jnp.asarray(r), num_segments=N)
+    assert _rel_to_peak(out, want) < 5e-3
+
+
+# ---- banded SDDMM kernel ------------------------------------------------------
+
+def test_banded_sddmm_on_chip():
+    from tgp_tpu.ops.pallas.sddmm import sddmm_banded
+
+    rng = np.random.default_rng(3)
+    N, E, F = 512, 4096, 128
+    r = np.sort(rng.integers(0, N, E)).astype(np.int32)
+    s = np.clip(r + rng.integers(-200, 200, E), 0, N - 1).astype(np.int32)
+    a = rng.normal(size=(N, F)).astype(np.float32)
+    b = rng.normal(size=(N, F)).astype(np.float32)
+    out = jax.jit(
+        lambda a, b, s, r: sddmm_banded(a, b, s, r, window=512)
+    )(jnp.asarray(a), jnp.asarray(b), jnp.asarray(s), jnp.asarray(r))
+    want = np.einsum("ef,ef->e", a[s], b[r])
+    assert _rel_to_peak(out, want) < 1e-3
+
+
+# ---- batched-GEMM kernel -------------------------------------------------------
+
+def test_bmm_pallas_fwd_and_vjp_on_chip():
+    from tgp_tpu.ops.pallas.bmm import bmm_pallas
+
+    rng = np.random.default_rng(4)
+    B, N, F = 16, 256, 128
+    a = jnp.asarray(rng.normal(size=(B, N, N)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(B, N, F)).astype(np.float32))
+    out = jax.jit(bmm_pallas)(a, b)
+    want = jnp.einsum("bnm,bmf->bnf", a, b,
+                      preferred_element_type=jnp.float32)
+    assert _rel_to_peak(out, want) < 5e-3
+
+    cot = jnp.asarray(rng.normal(size=(B, N, F)).astype(np.float32))
+
+    def loss(a, b):
+        return jnp.sum(bmm_pallas(a, b) * cot)
+
+    da, db = jax.jit(jax.grad(loss, argnums=(0, 1)))(a, b)
+    want_da = jnp.einsum("bnf,bmf->bnm", cot, b)
+    want_db = jnp.einsum("bnm,bnf->bmf", a, cot)
+    assert _rel_to_peak(da, want_da) < 5e-3
+    assert _rel_to_peak(db, want_db) < 5e-3
+
+
+# ---- both train pipelines -------------------------------------------------------
+
+def _bench_graphs(B=8, n=64, f=16, seed=5):
+    rng = np.random.default_rng(seed)
+    graphs = []
+    for _ in range(B):
+        upper = np.triu(rng.random((n, n)) < 0.1, k=1)
+        adj = upper | upper.T
+        s, r = np.nonzero(adj)
+        graphs.append((rng.normal(size=(n, f)).astype(np.float32),
+                       np.stack([s, r]).astype(np.int64)))
+    return graphs, rng.integers(0, 3, B).astype(np.int32)
+
+
+def _cpu_value(fn, *args):
+    """Run the same jitted function on the host CPU backend for a
+    cross-backend oracle (the axon plugin keeps 'cpu' registered)."""
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        args = jax.tree.map(
+            lambda t: jax.device_put(np.asarray(t), cpu)
+            if hasattr(t, "shape") else t, args)
+        return jax.tree.map(np.asarray, jax.jit(fn)(*args))
+
+
+def test_dense_fast_path_step_on_chip():
+    import optax
+
+    from tgp_tpu.graph import from_graphs, to_dense
+    from tgp_tpu.models.fast_dense import DenseTopkClassifier
+
+    graphs, labels = _bench_graphs()
+    dense = to_dense(from_graphs(graphs))
+    y = jnp.asarray(labels)
+    model = DenseTopkClassifier(num_classes=3, hidden=32, ratio=0.5)
+    params = model.init(jax.random.key(0), dense)
+    tx = optax.adam(1e-2)
+
+    def step(p, o, dense, y):
+        def loss_fn(p):
+            logits, _ = model.apply(p, dense)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean()
+
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        up, o = tx.update(g, o)
+        return optax.apply_updates(p, up), o, loss
+
+    o = tx.init(params)
+    jstep = jax.jit(step)
+    p1, o, l0 = jstep(params, o, dense, y)
+    _, _, l1 = jstep(p1, o, dense, y)
+    assert np.isfinite(float(l0)) and np.isfinite(float(l1))
+    assert float(l1) < float(l0)  # one adam step on a fresh model descends
+
+    # cross-backend: first-step loss matches the CPU backend
+    def first_loss(p, dense, y):
+        logits, _ = model.apply(p, dense)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, y).mean()
+
+    cpu_l0 = _cpu_value(first_loss, params, dense, y)
+    assert abs(float(l0) - float(cpu_l0)) < 5e-3 * max(1.0, abs(float(cpu_l0)))
+
+
+def test_sparse_pipeline_step_on_chip():
+    import optax
+
+    from tgp_tpu.graph import from_graphs
+    from tgp_tpu.models.classifiers import PoolingClassifier
+    from tgp_tpu.poolers import get_pooler
+
+    graphs, labels = _bench_graphs()
+    batch = from_graphs(graphs, sort_edges=True)
+    y = jnp.asarray(labels)
+    pooler = get_pooler("topk", in_channels=32, ratio=0.5)
+    model = PoolingClassifier(pooler=pooler, num_classes=3, hidden=32,
+                              use_pallas=True)
+    params = model.init(jax.random.key(0), batch)
+    tx = optax.adam(1e-2)
+
+    def step(p, o, batch, y):
+        def loss_fn(p):
+            logits, out = model.apply(p, batch)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean() + out.loss_sum()
+
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        up, o = tx.update(g, o)
+        return optax.apply_updates(p, up), o, loss
+
+    o = tx.init(params)
+    p1, o, l0 = jax.jit(step)(params, o, batch, y)
+    assert np.isfinite(float(l0))
+
+    # on-chip XLA-scatter twin of the same model (the kernel is a drop-in
+    # segment-sum, so the losses must agree within the bf16 envelope)
+    model_ref = PoolingClassifier(pooler=pooler, num_classes=3, hidden=32,
+                                  use_pallas=False)
+
+    def ref_loss(p, b, yy):
+        logits, out = model_ref.apply(p, b)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, yy).mean() + out.loss_sum()
+
+    tpu_ref_l0 = jax.jit(ref_loss)(params, batch, y)
+    assert abs(float(l0) - float(tpu_ref_l0)) < 5e-3 * max(
+        1.0, abs(float(tpu_ref_l0)))
+
+    # cross-backend: the XLA twin agrees with the CPU backend too
+    cpu_l0 = _cpu_value(ref_loss, params, batch, y)
+    assert abs(float(tpu_ref_l0) - float(cpu_l0)) < 5e-3 * max(
+        1.0, abs(float(cpu_l0)))

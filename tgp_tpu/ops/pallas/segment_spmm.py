@@ -127,6 +127,19 @@ def sorted_segment_sum_pallas(msgs: jax.Array, rids: jax.Array,
     """
     E, F = msgs.shape
     del rids
+    if F % 128 != 0:
+        # Mosaic tiles the lane (minor) axis at 128: a narrower F makes the
+        # per-chunk DMA slice unaligned and fails to compile on hardware
+        # (caught by the on-chip gate, tests/tpu/test_tpu_gate.py — hidden
+        # widths like 32 hit this).  Pad features up to the lane width; the
+        # zero lanes cost bandwidth but keep every slice tile-aligned.
+        F_pad = ((F + 127) // 128) * 128
+        msgs = jnp.pad(msgs, ((0, 0), (0, F_pad - F)))
+        out = sorted_segment_sum_pallas(
+            msgs, None, row_ptr, num_rows, block_rows=block_rows,
+            block_edges=block_edges, precision=precision,
+            interpret=interpret)
+        return out[:, :F]
     auto_br, auto_be = _auto_blocks(E, F, num_rows, msgs.dtype.itemsize)
     block_rows = block_rows or auto_br
     block_edges = block_edges or auto_be
