@@ -964,3 +964,117 @@ def maxcut_scores(g, params, delta=2.0, mp_act="tanh", mlp_act="relu",
         x = ACTS[mlp_act](x @ W + b)
     score = x @ params["final_W"] + params["final_b"]
     return ACTS[act](score[:, 0])
+
+
+# ---------------------------------------------------------------------------
+# Total-assignment propagation (reference: tgp/utils/ops.py:1222-1441,
+# ``propagate_assignments_sparse`` + the deterministic part of
+# ``get_assignments``) — exact transcription, NumPy int64
+# ---------------------------------------------------------------------------
+
+
+def propagate_assignments_sparse(assignments, edge_index, kept, mask,
+                                 num_clusters):
+    """One propagation round, faithful to the reference's sort-key math:
+    each unassigned destination adopts the cluster with the most incoming
+    edges from assigned senders; ties → smallest cluster index (1-based
+    position in ``kept``).  Duplicate edges count as separate votes.
+    Returns updated ``(assignments, mask)`` (the mapping rows are implied).
+    """
+    src, dst = edge_index[0], edge_index[1]
+    src_asg = assignments[src]
+    valid = (src_asg > 0) & (~mask[dst])
+    if valid.sum() == 0:
+        return assignments, mask
+    vd, va = dst[valid], src_asg[valid]
+    combined = vd * (num_clusters + 1) + va
+    uniq, counts = np.unique(combined, return_counts=True)
+    u_dst = uniq // (num_clusters + 1)
+    u_asg = uniq % (num_clusters + 1)
+    max_count = counts.max() + 1
+    key = (u_dst * (max_count * (num_clusters + 1))
+           - counts * (num_clusters + 1) + u_asg)
+    order = np.argsort(key, kind="stable")
+    s_dst, s_asg = u_dst[order], u_asg[order]
+    head = np.concatenate([[True], s_dst[1:] != s_dst[:-1]])
+    best_dst, best_asg = s_dst[head], s_asg[head]
+    keep = best_asg > 0
+    if keep.sum() == 0:
+        return assignments, mask
+    assignments = assignments.copy()
+    mask = mask.copy()
+    assignments[best_dst[keep]] = best_asg[keep]
+    mask[best_dst[keep]] = True
+    return assignments, mask
+
+
+def get_assignments_deterministic(kept_node_indices, edge_index, num_nodes,
+                                  max_iter=5):
+    """``get_assignments`` without the random fallback: returns the
+    1-based assignment vector after ≤ ``max_iter`` propagation rounds
+    (0 = still unassigned) plus the assigned mask — the deterministic
+    prefix every implementation must match exactly."""
+    kept = np.asarray(kept_node_indices, np.int64)
+    mask = np.zeros(num_nodes, bool)
+    mask[kept] = True
+    assignments = np.zeros(num_nodes, np.int64)
+    assignments[kept] = np.arange(1, kept.size + 1)
+    for _ in range(max_iter):
+        if mask.all():
+            break
+        assignments, mask = propagate_assignments_sparse(
+            assignments, np.asarray(edge_index, np.int64), kept, mask,
+            kept.size)
+    return assignments, mask
+
+
+# ---------------------------------------------------------------------------
+# Graclus randomized greedy matching (reference: tgp/select/graclus_select.py
+# :67-69 delegates to torch_cluster.graclus_cluster — CPU kernel semantics:
+# visit vertices in a random permutation; an unmatched vertex pairs with its
+# unmatched neighbor of maximal edge weight) — NumPy transcription
+# ---------------------------------------------------------------------------
+
+
+def graclus_matching_randomized(edge_index, num_nodes, edge_weight=None,
+                                rng=None):
+    """One run of the reference's randomized greedy matching.  Returns the
+    per-node cluster id (min of the pair's node ids, singletons map to
+    themselves) — the quantity bounded by tests/test_ref_parity_graclus.py
+    is the total matched edge weight, not the ids."""
+    rng = np.random.default_rng(rng)
+    src = np.asarray(edge_index[0], np.int64)
+    dst = np.asarray(edge_index[1], np.int64)
+    w = (np.ones(src.size) if edge_weight is None
+         else np.asarray(edge_weight, np.float64))
+    adj = [[] for _ in range(num_nodes)]
+    for s, d, ww in zip(src, dst, w):
+        if s != d:
+            adj[s].append((int(d), float(ww)))
+    cluster = np.arange(num_nodes, dtype=np.int64)
+    matched = np.zeros(num_nodes, bool)
+    for u in rng.permutation(num_nodes):
+        if matched[u]:
+            continue
+        best, best_w = -1, -np.inf
+        for v, ww in adj[u]:
+            if not matched[v] and v != u and ww > best_w:
+                best, best_w = v, ww
+        matched[u] = True
+        if best >= 0:
+            matched[best] = True
+            c = min(u, best)
+            cluster[u] = c
+            cluster[best] = c
+    return cluster
+
+
+def matching_weight(cluster, edge_index, edge_weight=None):
+    """Total weight of edges whose endpoints share a (non-singleton)
+    cluster, each undirected pair counted once."""
+    src = np.asarray(edge_index[0], np.int64)
+    dst = np.asarray(edge_index[1], np.int64)
+    w = (np.ones(src.size) if edge_weight is None
+         else np.asarray(edge_weight, np.float64))
+    sel = (cluster[src] == cluster[dst]) & (src < dst)
+    return float(w[sel].sum())

@@ -43,38 +43,37 @@ static void build_csr(int64_t n, int64_t e, const int64_t* src,
   }
 }
 
-// Graclus: random vertex order, match with heaviest unmatched neighbor.
+// Graclus: deterministic weight-sorted greedy matching (same flavor as the
+// device path, tgp_tpu/select/graclus.py).  The reference's matcher scans
+// vertices in RANDOM order (torch_cluster::graclus_cluster); processing
+// edges in descending weight order instead dominates its expected matched
+// weight (bound tested in tests/test_ref_parity_graclus.py).  `seed` is
+// kept for ABI compatibility and ignored.
 // cluster_out[n]: consecutive cluster ids.
 void graclus_matching(int64_t n, int64_t e, const int64_t* src,
                       const int64_t* dst, const double* w, uint64_t seed,
                       int64_t* cluster_out) {
-  std::vector<int64_t> indptr, indices;
-  std::vector<double> data;
-  build_csr(n, e, src, dst, w, indptr, indices, data);
-
-  std::vector<int64_t> order(n);
-  for (int64_t i = 0; i < n; ++i) order[i] = i;
-  std::mt19937_64 rng(seed);
-  std::shuffle(order.begin(), order.end(), rng);
-
+  (void)seed;
+  std::vector<int64_t> order(e);
+  for (int64_t i = 0; i < e; ++i) order[i] = i;
+  std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+    double wa = w ? w[a] : 1.0, wb = w ? w[b] : 1.0;
+    if (wa != wb) return wa > wb;  // heaviest first
+    // deterministic tie-break: smaller (min,max) endpoint pair first
+    int64_t amin = std::min(src[a], dst[a]), bmin = std::min(src[b], dst[b]);
+    if (amin != bmin) return amin < bmin;
+    return std::max(src[a], dst[a]) < std::max(src[b], dst[b]);
+  });
   std::fill(cluster_out, cluster_out + n, int64_t(-1));
   int64_t next_id = 0;
-  for (int64_t oi = 0; oi < n; ++oi) {
-    int64_t u = order[oi];
-    if (cluster_out[u] >= 0) continue;
-    int64_t best = -1;
-    double best_w = -1.0;
-    for (int64_t p = indptr[u]; p < indptr[u + 1]; ++p) {
-      int64_t v = indices[p];
-      if (v != u && cluster_out[v] < 0 && data[p] > best_w) {
-        best = v;
-        best_w = data[p];
-      }
-    }
-    cluster_out[u] = next_id;
-    if (best >= 0) cluster_out[best] = next_id;
-    ++next_id;
+  for (int64_t oi = 0; oi < e; ++oi) {
+    int64_t i = order[oi];
+    int64_t u = src[i], v = dst[i];
+    if (u == v || cluster_out[u] >= 0 || cluster_out[v] >= 0) continue;
+    cluster_out[u] = cluster_out[v] = next_id++;
   }
+  for (int64_t u = 0; u < n; ++u)
+    if (cluster_out[u] < 0) cluster_out[u] = next_id++;
 }
 
 // Greedy maximal matching processing edges in rank order.
@@ -225,15 +224,13 @@ void sep_merge_tree(int64_t n, int64_t e, const int64_t* src,
       if (jt != it->second.end()) w_ab = jt->second;
     }
     double d = merge_delta(c.a, c.b, w_ab);
-    if (d <= 1e-12) {
-      if (c.d - d > 1e-9) {  // stale entry: refresh if still positive
-        if (d > 1e-12) {
-          heap.push_back({d, c.a, c.b});
-          std::push_heap(heap.begin(), heap.end(), cmp);
-        }
-        continue;
-      }
-      break;  // fresh and non-positive → no more useful merges
+    // FULL agglomeration: merge the best pair even when entropy-increasing
+    // (the compression phase picks the surviving layers — reference
+    // PartitionTree structure); early-stopping strands singleton clusters.
+    if (std::abs(c.d - d) > 1e-9) {  // stale entry: refresh and re-rank
+      heap.push_back({d, c.a, c.b});
+      std::push_heap(heap.begin(), heap.end(), cmp);
+      continue;
     }
     int64_t m = next_id++;
     vol[m] = vol[c.a] + vol[c.b];
@@ -256,10 +253,8 @@ void sep_merge_tree(int64_t n, int64_t e, const int64_t* src,
       cross[nb].erase(c.b);
       cross[nb][m] = ww;
       double d2 = merge_delta(m, nb, ww);
-      if (d2 > 0) {
-        heap.push_back({d2, std::min(m, nb), std::max(m, nb)});
-        std::push_heap(heap.begin(), heap.end(), cmp);
-      }
+      heap.push_back({d2, std::min(m, nb), std::max(m, nb)});
+      std::push_heap(heap.begin(), heap.end(), cmp);
     }
     cross[m] = std::move(row);
   }

@@ -11,34 +11,37 @@ from __future__ import annotations
 
 import numpy as np
 
-from tgp_tpu.precoarsen.common import coalesce_numpy, to_csr
+from tgp_tpu.precoarsen.common import coalesce_numpy
 
 __all__ = ["graclus_matching_numpy", "graclus_level"]
 
 
 def graclus_matching_numpy(edge_index, num_nodes, edge_weight=None,
                            seed: int = 0) -> np.ndarray:
-    """Random-order vertex scan, heaviest-unmatched-neighbor matching.
-    Returns ``cluster [n]`` with consecutive ids."""
-    rng = np.random.default_rng(seed)
-    A = to_csr(edge_index, num_nodes, edge_weight)
-    A = A.maximum(A.T).tocsr()
-    order = rng.permutation(num_nodes)
+    """Deterministic weight-sorted greedy matching — the NumPy twin of the
+    C++ ``graclus_matching`` (tgp_tpu/_native/native.cpp).  The reference's
+    matcher scans vertices in random order (torch_cluster); processing edges
+    heaviest-first instead dominates its expected matched weight (bound:
+    tests/test_ref_parity_graclus.py).  ``seed`` is kept for API
+    compatibility and ignored.  Returns ``cluster [n]`` with consecutive
+    ids: matched pairs first (in match order), then singletons."""
+    del seed
+    ei = np.asarray(edge_index, np.int64)
+    s, r = ei[0], ei[1]
+    w = (np.ones(s.size) if edge_weight is None
+         else np.asarray(edge_weight, np.float64))
+    lo, hi = np.minimum(s, r), np.maximum(s, r)
+    order = np.lexsort((hi, lo, -w))  # heaviest first, then (min,max) pair
     cluster = np.full(num_nodes, -1, np.int64)
     next_id = 0
-    indptr, indices, data = A.indptr, A.indices, A.data
-    for u in order:
-        if cluster[u] >= 0:
+    for i in order:
+        u, v = s[i], r[i]
+        if u == v or cluster[u] >= 0 or cluster[v] >= 0:
             continue
-        best, best_w = -1, -np.inf
-        for idx in range(indptr[u], indptr[u + 1]):
-            v = indices[idx]
-            if v != u and cluster[v] < 0 and data[idx] > best_w:
-                best, best_w = v, data[idx]
-        cluster[u] = next_id
-        if best >= 0:
-            cluster[best] = next_id
+        cluster[u] = cluster[v] = next_id
         next_id += 1
+    unmatched = cluster < 0
+    cluster[unmatched] = next_id + np.arange(int(unmatched.sum()))
     return cluster
 
 
