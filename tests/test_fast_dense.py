@@ -71,3 +71,31 @@ def test_dense_topk_classifier_trains():
             l0 = l
     assert float(l) < float(l0), (float(l0), float(l))
     assert np.isfinite(float(l))
+
+
+def test_onehot_and_gather_pool_impls_agree():
+    """The MXU one-hot path (P·A·Pᵀ, P·X) and the take_along_axis path are
+    two layouts of the same selection — values AND gradients must agree."""
+    b = make_batch([14, 9, 11], num_features=8, seed=11, weighted=True,
+                   pad_nodes=40, pad_edges=256)
+    dense = to_dense(b)
+    rng = np.random.default_rng(0)
+    score = jnp.tanh(jnp.asarray(
+        rng.normal(size=dense.mask.shape).astype(np.float32)))
+
+    p_oh = dense_topk_pool(dense, score, ratio=0.5, impl="onehot")
+    p_ga = dense_topk_pool(dense, score, ratio=0.5, impl="gather")
+    np.testing.assert_array_equal(np.asarray(p_oh.mask), np.asarray(p_ga.mask))
+    np.testing.assert_allclose(np.asarray(p_oh.x), np.asarray(p_ga.x),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p_oh.adj), np.asarray(p_ga.adj),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(x, impl):
+        d = dense.__class__(x=x, adj=dense.adj, mask=dense.mask)
+        return (dense_topk_pool(d, score, ratio=0.5, impl=impl).x ** 2).sum()
+
+    g_oh = jax.grad(lambda x: loss(x, "onehot"))(dense.x)
+    g_ga = jax.grad(lambda x: loss(x, "gather"))(dense.x)
+    np.testing.assert_allclose(np.asarray(g_oh), np.asarray(g_ga),
+                               rtol=1e-5, atol=1e-6)

@@ -160,3 +160,50 @@ def make_ring_halo_spmm(mesh: Mesh, rows_per: int, n_devices: int,
         out_specs=P(axis),
     )
     return jax.jit(smapped)
+
+
+def balanced_node_order(receivers, num_nodes: int, n_devices: int,
+                        senders=None):
+    """Degree-aware row partitioning (skew-proofing): a permutation ``perm``
+    of ``[0, n_pad)`` such that relabeling nodes as ``inv[perm[i]] = i`` and
+    partitioning the RELABELED graph into contiguous equal-row ranges gives
+    balanced per-device edge loads.
+
+    Greedy LPT bin-packing on weighted degree: nodes sorted by (in+out)
+    degree descending, each assigned to the device with the least edge load
+    among those with free row slots (every device owns exactly
+    ``n_pad / n_devices`` rows — static shapes need equal row counts, only
+    the LOAD is balanced).  With contiguous ranges a single hub node
+    inflates every device's padded edge budget to the hub owner's count;
+    after this reorder the max/mean bucket ratio is bounded near 1
+    (tests/parallel/test_comm_model.py asserts < 1.3 on power-law graphs).
+
+    Returns ``(perm, inv)``: ``perm[new] = old`` node id (padding slots map
+    to the padded tail ids), ``inv[old] = new``.  Compose with
+    :func:`partition_edges` as::
+
+        perm, inv = balanced_node_order(r, n, D, senders=s)
+        S, R, W, n_pad, rows_per = partition_edges(inv[s], inv[r], w, n_pad, D)
+        out_perm = sharded(x[perm_valid], ...)   # rows in new order
+    """
+    receivers = np.asarray(receivers)
+    n_pad = _ceil_to(num_nodes, n_devices)
+    rows_per = n_pad // n_devices
+    deg = np.bincount(receivers, minlength=n_pad).astype(np.int64)
+    if senders is not None:
+        deg = deg + np.bincount(np.asarray(senders), minlength=n_pad)
+    order = np.argsort(-deg, kind="stable")  # heaviest first
+    load = np.zeros(n_devices, np.int64)
+    slots = np.full(n_devices, rows_per, np.int64)
+    perm = np.empty(n_pad, np.int64)
+    cursor = np.arange(n_devices) * rows_per  # next row slot per device
+    for node in order:
+        free = slots > 0
+        d = int(np.flatnonzero(free)[np.argmin(load[free])])
+        perm[cursor[d]] = node
+        cursor[d] += 1
+        slots[d] -= 1
+        load[d] += deg[node]
+    inv = np.empty(n_pad, np.int64)
+    inv[perm] = np.arange(n_pad)
+    return perm, inv
