@@ -117,7 +117,13 @@ def dense_topk_pool(dense: DenseGraphBatch, score: jax.Array,
         adj = jnp.einsum("bkm,bjm->bkj", adj.astype(dense.adj.dtype), Pa,
                          preferred_element_type=jnp.float32
                          ).astype(dense.adj.dtype)
-        x_sel = jnp.einsum("bkn,bnf->bkf", P.astype(dense.x.dtype), dense.x)
+        # HIGHEST: on TPU, DEFAULT truncates f32 operands to bf16 — but a
+        # one-hot selection must return the feature VALUES exactly.  For
+        # bf16 features HIGHEST costs the same single MXU pass; for f32 it
+        # is the exact 3-pass emulation (measured ~3 µs extra at the
+        # flagship shape, scripts/exp_r3_ops2.py).
+        x_sel = jnp.einsum("bkn,bnf->bkf", P.astype(dense.x.dtype), dense.x,
+                           precision=jax.lax.Precision.HIGHEST)
         x_pool = x_sel * (gate[:, :, None] * multiplier).astype(x_sel.dtype)
         return DenseGraphBatch(x=x_pool, adj=adj, mask=slot_mask)
 
