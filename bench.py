@@ -160,8 +160,7 @@ def bench_jax_sparse(graphs, labels):
     y = jnp.asarray(labels)
 
     pooler = get_pooler("topk", in_channels=HIDDEN, ratio=0.5)
-    model = PoolingClassifier(pooler=pooler, num_classes=3, hidden=HIDDEN,
-                              use_pallas=False)
+    model = PoolingClassifier(pooler=pooler, num_classes=3, hidden=HIDDEN)
     params = model.init(jax.random.key(0), batch)
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)

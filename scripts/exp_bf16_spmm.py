@@ -12,7 +12,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tgp_tpu.ops.pallas.segment_spmm import sorted_segment_sum_pallas
+from tgp_tpu.ops.pallas.segment_spmm import (sorted_segment_sum_grouped,
+                                             sorted_segment_sum_pallas)
 
 ITERS = 30
 
@@ -47,7 +48,12 @@ def run(N=65536, E=1048576, F=128):
         def pallas(h):
             return sorted_segment_sum_pallas(h[sj] * wj[:, None], rj, rp, N)
 
-        for name, fn in (("xla_sorted", xla_sorted), ("pallas", pallas)):
+        def grouped(h):
+            return sorted_segment_sum_grouped(
+                h[sj] * wj[:, None], rj, rp, N).astype(h.dtype)
+
+        for name, fn in (("xla_sorted", xla_sorted), ("pallas", pallas),
+                         ("grouped", grouped)):
             f = jax.jit(lambda x0, fn=fn: jnp.sum(
                 chain(fn, x0).astype(jnp.float32)))
             float(f(xj))

@@ -52,6 +52,25 @@ def test_sorted_segment_sum_on_chip(dtype):
     assert _rel_to_peak(out, want) < 5e-3
 
 
+@pytest.mark.parametrize("dtype", [np.float32, np.dtype("bfloat16")])
+def test_blocked_kernel_on_chip(dtype):
+    """The round-2 blocked kernel stays available as an explicit variant —
+    keep it compiling on hardware (segment_sum_sorted now defaults to the
+    grouped work-item kernel)."""
+    from tgp_tpu.ops.pallas.segment_spmm import sorted_segment_sum_pallas
+
+    msgs, rids = _sorted_workload(dtype=np.float32)
+    msgs = msgs.astype(dtype)
+    N = 1024
+    counts = np.bincount(np.asarray(rids), minlength=N)
+    row_ptr = jnp.asarray(
+        np.concatenate([[0], np.cumsum(counts)]).astype(np.int32))
+    out = jax.jit(lambda m: sorted_segment_sum_pallas(
+        m, None, row_ptr, N))(msgs)
+    want = jax.ops.segment_sum(msgs.astype(jnp.float32), rids, num_segments=N)
+    assert _rel_to_peak(out, want) < 5e-3
+
+
 def test_sorted_segment_sum_grad_on_chip():
     from tgp_tpu.ops.pallas.segment_spmm import segment_sum_sorted
 

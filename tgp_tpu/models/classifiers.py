@@ -30,7 +30,9 @@ class PoolingClassifier(nn.Module):
     num_pre_layers: int = 1
     num_post_layers: int = 1
     readout: str = "sum"
-    use_pallas: bool = False  # Pallas SpMM on sorted-edge input batches
+    #: Pallas SpMM on sorted-edge input batches; None = measured
+    #: regime map (ops.sparse.use_pallas_spmm)
+    use_pallas: Optional[bool] = None
     #: rematerialize MP-layer activations in the backward pass
     #: (jax.checkpoint): trades ~1 extra forward of FLOPs for O(layers)
     #: less activation HBM — the standard lever for deep stacks / large N

@@ -50,10 +50,14 @@ class GCNConv(nn.Module):
     #: GCN-normalized (a static adjacency can be normalized ONCE outside the
     #: train step — saves two full [B,N,N] passes per layer per step)
     normalize: bool = True
-    #: use the Pallas sorted-CSR segment-sum kernel (requires a batch built
-    #: with ``sort_edges=True``; self-loops are applied as a separate
-    #: diagonal term so the sorted layout is preserved)
-    use_pallas: bool = False
+    #: sparse path: route the SpMM through the Pallas sorted-CSR kernel
+    #: (requires a batch built with ``sort_edges=True``; self-loops are
+    #: applied as a separate diagonal term so the sorted layout is
+    #: preserved).  ``None`` (default) applies the measured regime map
+    #: (:func:`tgp_tpu.ops.sparse.use_pallas_spmm`: sorted + E ≥ 262k +
+    #: TPU backend); the dense path treats ``None`` as False (XLA einsum
+    #: is matmul-bound there already).
+    use_pallas: Optional[bool] = None
     #: dense path: skip the output padding mask (safe when the caller never
     #: reads padding rows — e.g. top-k selection masks scores itself; saves
     #: one full [B,N,F] HBM pass per layer)
@@ -69,7 +73,13 @@ class GCNConv(nn.Module):
             x = batch.x
         h = nn.Dense(self.out_channels, use_bias=False, dtype=self.dtype,
                      kernel_init=nn.initializers.glorot_uniform())(x)
-        if (self.use_pallas and isinstance(batch, GraphBatch)
+        from tgp_tpu.ops.sparse import use_pallas_spmm
+
+        want_pallas = self.use_pallas
+        if want_pallas is None and isinstance(batch, GraphBatch):
+            want_pallas = use_pallas_spmm(batch.num_edges,
+                                          batch.edges_sorted)
+        if (want_pallas and isinstance(batch, GraphBatch)
                 and batch.edges_sorted):
             from tgp_tpu.ops.pallas.segment_spmm import segment_sum_sorted
             from tgp_tpu.ops.sparse import weighted_degree

@@ -115,8 +115,25 @@ def add_remaining_self_loops(senders, receivers, edge_weight, edge_mask,
     return s, r, w, m
 
 
+#: regime boundary (RESULTS.md round-2/3 measurements, TPU v5e): the Pallas
+#: sorted-CSR kernel beats XLA's sorted scatter from ~262k edges up (2.7x at
+#: E=1M); below, XLA's scatter is cheaper than the kernel's grid overhead.
+PALLAS_MIN_EDGES = 1 << 18
+
+
+def use_pallas_spmm(num_edges: int, edges_sorted: bool) -> bool:
+    """The measured regime map, as code (VERDICT r2 #3): route the SpMM
+    through the Pallas sorted-CSR kernel iff the edges are receiver-sorted,
+    large enough (:data:`PALLAS_MIN_EDGES`), and a TPU is the backend
+    (interpret-mode Pallas on CPU is orders slower than XLA scatter)."""
+    import jax.extend.backend as _backend
+
+    return (edges_sorted and num_edges >= PALLAS_MIN_EDGES
+            and _backend.get_backend().platform not in ("cpu",))
+
+
 def spmm(senders, receivers, edge_weight, x, num_nodes: int, *,
-         indices_are_sorted: bool = False):
+         indices_are_sorted: bool = False, method: str = "auto"):
     """Sparse matmul ``(A X)[r] = Σ_{e: recv[e]=r} w_e · x[send_e]``.
 
     The gather + segment-sum formulation of SpMM — the single hottest sparse
@@ -125,8 +142,18 @@ def spmm(senders, receivers, edge_weight, x, num_nodes: int, *,
     zero weight, so no masking is needed.  Pass ``indices_are_sorted=True``
     when ``receivers`` is ascending (e.g. after :func:`sort_by_receiver`) to
     skip XLA's serialized random-scatter path.
+
+    ``method``: ``"auto"`` applies the measured regime map
+    (:func:`use_pallas_spmm`); ``"xla"`` / ``"pallas"`` force a path.
     """
+    if method == "auto":
+        method = ("pallas" if use_pallas_spmm(
+            senders.shape[0], indices_are_sorted) else "xla")
     msgs = x[senders] * edge_weight[:, None]
+    if method == "pallas":
+        from tgp_tpu.ops.pallas.segment_spmm import segment_sum_sorted
+
+        return segment_sum_sorted(msgs, receivers, num_nodes)
     return jax.ops.segment_sum(msgs, receivers, num_segments=num_nodes,
                                indices_are_sorted=indices_are_sorted)
 
