@@ -1,14 +1,18 @@
-"""Line-coverage runner for the test suite (zero-egress stand-in for
-pytest-cov; the reference gates CI at 90% branch coverage via coverage.py,
-/root/reference/pyproject.toml [tool.coverage]).
+"""Line + branch coverage runner for the test suite (zero-egress stand-in
+for pytest-cov; the reference gates CI at 90% BRANCH coverage via
+coverage.py, /root/reference/pyproject.toml [tool.coverage]).
 
-Uses Python 3.12's ``sys.monitoring`` LINE events restricted to files under
-``tgp_tpu/``, then reports hit/executable lines per file.  Executable lines
-are taken from the compiled code objects' line tables (the same source
-coverage.py uses), excluding docstrings-only and ``pragma: no cover`` lines.
+Uses Python 3.12's ``sys.monitoring`` LINE and BRANCH events restricted to
+files under ``tgp_tpu/``.  Executable lines come from the compiled code
+objects' line tables; possible branch outcomes are the conditional-branch
+instructions in those code objects (2 outcomes each) — the same arc notion
+coverage.py uses, minus its AST exclusions.  Branch coverage = distinct
+(branch instruction, destination) pairs observed / (2 × branch
+instructions).
 
 Usage:
-    python scripts/linecov.py [--fail-under PCT] [pytest args...]
+    python scripts/linecov.py [--fail-under PCT] [--branch-fail-under PCT]
+                              [pytest args...]
 """
 
 from __future__ import annotations
@@ -25,6 +29,15 @@ if str(ROOT) not in sys.path:
 
 TOOL = sys.monitoring.COVERAGE_ID
 hits: dict[str, set[int]] = {}
+branch_hits: dict[str, dict[int, set[int]]] = {}
+
+#: conditional (2-way) branch opcodes in CPython 3.12 — the instruction
+#: offsets at which sys.monitoring fires BRANCH
+_BRANCH_OPS = frozenset({
+    "POP_JUMP_IF_FALSE", "POP_JUMP_IF_TRUE",
+    "POP_JUMP_IF_NONE", "POP_JUMP_IF_NOT_NONE",
+    "FOR_ITER",
+})
 
 
 def _on_line(code, line):
@@ -34,6 +47,17 @@ def _on_line(code, line):
     else:
         return sys.monitoring.DISABLE
     return None
+
+
+def _on_branch(code, instruction_offset, destination_offset):
+    fn = code.co_filename
+    if not fn.startswith(str(PKG)):
+        return sys.monitoring.DISABLE
+    dests = branch_hits.setdefault(fn, {}).setdefault(
+        instruction_offset, set())
+    dests.add(destination_offset)
+    # both outcomes of a 2-way branch observed → stop monitoring this site
+    return sys.monitoring.DISABLE if len(dests) >= 2 else None
 
 
 def executable_lines(path: Path) -> set[int]:
@@ -60,16 +84,40 @@ def executable_lines(path: Path) -> set[int]:
     return lines
 
 
+def branch_sites(path: Path) -> int:
+    """Number of conditional-branch instructions in the file (each has two
+    possible destinations)."""
+    try:
+        code = compile(path.read_text(), str(path), "exec")
+    except SyntaxError:
+        return 0
+    n = 0
+    stack = [code]
+    while stack:
+        c = stack.pop()
+        for const in c.co_consts:
+            if hasattr(const, "co_code"):
+                stack.append(const)
+        for ins in dis.get_instructions(c):
+            if ins.opname in _BRANCH_OPS:
+                n += 1
+    return n
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fail-under", type=float, default=0.0)
+    ap.add_argument("--branch-fail-under", type=float, default=0.0)
     ap.add_argument("pytest_args", nargs="*")
     args = ap.parse_args()
 
     sys.monitoring.use_tool_id(TOOL, "linecov")
     sys.monitoring.register_callback(
         TOOL, sys.monitoring.events.LINE, _on_line)
-    sys.monitoring.set_events(TOOL, sys.monitoring.events.LINE)
+    sys.monitoring.register_callback(
+        TOOL, sys.monitoring.events.BRANCH, _on_branch)
+    sys.monitoring.set_events(
+        TOOL, sys.monitoring.events.LINE | sys.monitoring.events.BRANCH)
 
     import pytest
 
@@ -82,31 +130,50 @@ def main():
         sys.exit(int(rc))
 
     total_exec = total_hit = 0
+    total_br = total_br_hit = 0
     rows = []
     for path in sorted(PKG.rglob("*.py")):
         ex = executable_lines(path)
         if not ex:
             continue
         got = hits.get(str(path), set()) & ex
+        n_br = branch_sites(path)
+        # distinct observed (offset, dest) pairs, capped at 2 per offset
+        seen = branch_hits.get(str(path), {})
+        br_hit = sum(min(len(d), 2) for d in seen.values())
+        br_hit = min(br_hit, 2 * n_br)
         total_exec += len(ex)
         total_hit += len(got)
+        total_br += 2 * n_br
+        total_br_hit += br_hit
         pct = 100.0 * len(got) / len(ex)
-        missing = sorted(ex - got)
+        bpct = 100.0 * br_hit / max(2 * n_br, 1) if n_br else 100.0
         rows.append((str(path.relative_to(ROOT)), len(ex), len(got), pct,
-                     missing))
+                     2 * n_br, br_hit, bpct))
 
-    print(f"\n{'file':58s} {'lines':>6} {'hit':>6} {'cov%':>6}")
-    for name, ex, got, pct, missing in rows:
+    print(f"\n{'file':58s} {'lines':>6} {'hit':>6} {'cov%':>6} "
+          f"{'brch':>6} {'bhit':>6} {'bcov%':>6}")
+    for name, ex, got, pct, nbr, bhit, bpct in rows:
         flag = "" if pct >= 90 else "  << "
-        print(f"{name:58s} {ex:6d} {got:6d} {pct:6.1f}{flag}")
+        print(f"{name:58s} {ex:6d} {got:6d} {pct:6.1f} "
+              f"{nbr:6d} {bhit:6d} {bpct:6.1f}{flag}")
     pct_total = 100.0 * total_hit / max(total_exec, 1)
-    print(f"{'TOTAL':58s} {total_exec:6d} {total_hit:6d} {pct_total:6.1f}")
+    bpct_total = 100.0 * total_br_hit / max(total_br, 1)
+    print(f"{'TOTAL':58s} {total_exec:6d} {total_hit:6d} {pct_total:6.1f} "
+          f"{total_br:6d} {total_br_hit:6d} {bpct_total:6.1f}")
 
+    rc2 = 0
     if args.fail_under and pct_total < args.fail_under:
         print(f"FAIL: total line coverage {pct_total:.1f}% < "
               f"{args.fail_under}%")
-        sys.exit(2)
-    print(f"OK: total line coverage {pct_total:.1f}%")
+        rc2 = 2
+    if args.branch_fail_under and bpct_total < args.branch_fail_under:
+        print(f"FAIL: total branch coverage {bpct_total:.1f}% < "
+              f"{args.branch_fail_under}%")
+        rc2 = 2
+    if rc2:
+        sys.exit(rc2)
+    print(f"OK: line {pct_total:.1f}%  branch {bpct_total:.1f}%")
 
 
 if __name__ == "__main__":

@@ -93,7 +93,9 @@ class GCNConv(nn.Module):
                              0.0)
             w_norm = w * dinv[batch.senders] * dinv[batch.receivers]
             msgs = h[batch.senders] * w_norm[:, None]
-            out = segment_sum_sorted(msgs, batch.receivers, N)
+            out = segment_sum_sorted(
+                msgs, batch.receivers, N,
+                interpret=jax.default_backend() == "cpu")
             if self.add_self_loops:
                 out = out + h * (dinv * dinv)[:, None]
             out = jnp.where(batch.node_mask[:, None], out, 0.0)
