@@ -133,3 +133,52 @@ def test_lcm_permutation_invariance_of_shape(data):
         out = mod.apply(params, x, None, node_graph=seg, num_graphs=C,
                         node_mask=empty)
         assert np.isfinite(np.asarray(out)).all(), alias
+
+
+def test_get_aggr_kwargs_branches(data):
+    """Factory branch matrix: stateless+kwargs wrapper, median/quantile
+    max_len/q knobs, learnable field filtering, case insensitivity."""
+    from tgp_tpu.reduce.aggr import get_aggr
+
+    x, seg, mask, C = data
+    # case-insensitive lookup
+    out_u = get_aggr("SUM")(x, seg, C, mask)
+    out_l = get_aggr("sum")(x, seg, C, mask)
+    np.testing.assert_allclose(np.asarray(out_u), np.asarray(out_l))
+    # quantile q knob changes the answer
+    q25 = get_aggr("quantile", q=0.25)(x, seg, C, mask)
+    q75 = get_aggr("quantile", q=0.75)(x, seg, C, mask)
+    assert not np.allclose(np.asarray(q25), np.asarray(q75))
+    # median == quantile(0.5)
+    med = get_aggr("median")(x, seg, C, mask)
+    q50 = get_aggr("quantile", q=0.5)(x, seg, C, mask)
+    np.testing.assert_allclose(np.asarray(med), np.asarray(q50), atol=1e-6)
+    # learnable: irrelevant kwargs are filtered, relevant kept
+    st = get_aggr("set_transformer", num_heads=2, bogus_kwarg=1)
+    assert st.num_heads == 2
+
+
+def test_stateless_kwargs_wrapper_branch(data):
+    """A stateless alias called with kwargs goes through the lambda-wrap
+    branch of get_aggr and forwards them."""
+    from tgp_tpu.reduce.aggr import get_aggr
+
+    x, seg, mask, C = data
+    custom = get_aggr("multi", aggrs=("min", "sum"))(x, seg, C, mask)
+    assert custom.shape == (C, x.shape[1] * 2)
+    np.testing.assert_allclose(
+        np.asarray(custom[:, : x.shape[1]]),
+        np.asarray(get_aggr("min")(x, seg, C, mask)))
+
+
+def test_multi_aggr_default_triple(data):
+    """'multi' default stacks mean|max|sum feature-wise (reference
+    MultiAggregation)."""
+    from tgp_tpu.reduce.aggr import get_aggr
+
+    x, seg, mask, C = data
+    out = get_aggr("multi")(x, seg, C, mask)
+    assert out.shape == (C, x.shape[1] * 3)
+    np.testing.assert_allclose(
+        np.asarray(out[:, : x.shape[1]]),
+        np.asarray(get_aggr("mean")(x, seg, C, mask)))
