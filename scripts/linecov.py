@@ -29,7 +29,7 @@ if str(ROOT) not in sys.path:
 
 TOOL = sys.monitoring.COVERAGE_ID
 hits: dict[str, set[int]] = {}
-branch_hits: dict[str, dict[int, set[int]]] = {}
+branch_hits: dict[str, dict[tuple[str, int], set[int]]] = {}
 
 #: conditional (2-way) branch opcodes in CPython 3.12 — the instruction
 #: offsets at which sys.monitoring fires BRANCH
@@ -53,8 +53,10 @@ def _on_branch(code, instruction_offset, destination_offset):
     fn = code.co_filename
     if not fn.startswith(str(PKG)):
         return sys.monitoring.DISABLE
+    # key on (qualname, offset): offsets alone collide across the file's
+    # code objects and silently merge distinct branch sites
     dests = branch_hits.setdefault(fn, {}).setdefault(
-        instruction_offset, set())
+        (code.co_qualname, instruction_offset), set())
     dests.add(destination_offset)
     # both outcomes of a 2-way branch observed → stop monitoring this site
     return sys.monitoring.DISABLE if len(dests) >= 2 else None

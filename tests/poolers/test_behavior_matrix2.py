@@ -230,3 +230,50 @@ def test_sort_nodes_transform():
     pairs_a = sorted(zip(y[ei[0]], y[ei[1]]))
     pairs_b = sorted(zip(y2[ei2[0]], y2[ei2[1]]))
     assert pairs_a == pairs_b
+
+
+def test_kmis_random_scorer_without_rng_stream(batch):
+    """No 'sample' stream: the documented deterministic index-hash fallback
+    (docs/migration.md) — same ranks every apply."""
+    from tgp_tpu.select.kmis import KMISSelect
+
+    sel = KMISSelect(scorer="random")
+    params = sel.init(jax.random.key(0), batch)
+    a = sel.apply(params, batch)
+    b = sel.apply(params, batch)
+    np.testing.assert_array_equal(np.asarray(a.cluster_index),
+                                  np.asarray(b.cluster_index))
+
+
+def test_kmis_force_undirected_on_directed_input(batch):
+    """force_undirected symmetrizes+coalesces before the MIS: on a
+    directed input the MIS must be valid for the SYMMETRIZED graph."""
+    from tgp_tpu.select.kmis import KMISSelect
+
+    # strip the reverse edges: keep only s < r
+    s = np.asarray(batch.senders)
+    r = np.asarray(batch.receivers)
+    em = np.asarray(batch.edge_mask) & (s < r)
+    directed = batch.replace(edge_mask=jnp.asarray(em))
+
+    sel = KMISSelect(scorer="degree", force_undirected=True)
+    params = sel.init(jax.random.key(0), directed)
+    so = sel.apply(params, directed)
+    mis = np.asarray(so.extras["mis"])
+    # independence w.r.t. the undirected closure (the MIS itself rides in
+    # extras; node_sel_mask marks the TOTAL assignment)
+    for a, b_ in zip(s[em], r[em]):
+        assert not (mis[a] and mis[b_])
+
+
+def test_kmis_mis_impl_forced_sparse_matches_dense(batch):
+    from tgp_tpu.select.kmis import KMISSelect
+
+    outs = {}
+    for impl in ("dense", "sparse"):
+        sel = KMISSelect(scorer="degree", mis_impl=impl)
+        params = sel.init(jax.random.key(0), batch)
+        outs[impl] = sel.apply(params, batch)
+    np.testing.assert_array_equal(
+        np.asarray(outs["dense"].node_sel_mask),
+        np.asarray(outs["sparse"].node_sel_mask))

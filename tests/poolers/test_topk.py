@@ -122,3 +122,41 @@ def test_topk_min_score(small_batch):
     sel = np.asarray(out.so.node_sel_mask)
     w = np.asarray(out.so.weight)
     assert np.all(w[sel] > 0.05)
+
+
+def test_topk_precomputed_score_branches(small_batch):
+    """in_channels=None: the node features ARE the scores — both the
+    [N, F] (first column) and flat [N] layouts (reference
+    topk_select.py precomputed-score mode)."""
+    from tgp_tpu.select.topk import TopkSelect
+
+    b = small_batch
+    sel = TopkSelect(in_channels=None, ratio=0.5, act=None)
+    params = sel.init(jax.random.key(0), b)
+    so_2d = sel.apply(params, b)
+
+    flat = b.replace(x=b.x[:, 0])
+    so_1d = sel.apply(params, flat)
+    np.testing.assert_array_equal(np.asarray(so_2d.node_sel_mask),
+                                  np.asarray(so_1d.node_sel_mask))
+
+
+def test_topk_budget_int_and_float():
+    from tgp_tpu.select.topk import topk_budget
+
+    assert topk_budget(3, 10) == 3
+    assert topk_budget(30, 10) == 10  # clamps to max_nodes
+    assert topk_budget(0.25, 10) == 3  # ceil
+    assert topk_budget(0.01, 10) == 1  # floor of 1
+
+
+def test_topk_from_scores_extras_passthrough(small_batch):
+    from tgp_tpu.select.topk import topk_select_from_scores
+
+    b = small_batch
+    scores = jnp.where(b.node_mask, 1.0, 0.0)
+    so = topk_select_from_scores(scores, b, 0.5, None, "transpose",
+                                 extras={"tag": jnp.ones(1)})
+    assert "tag" in so.extras
+    so2 = topk_select_from_scores(scores, b, 0.5, None, "transpose")
+    assert so2.extras == {}
