@@ -213,3 +213,60 @@ def test_pooled_loader_short_dataset_cycles():
         x_pool = base_reduce(batch.x, lb.so)
         assert np.isfinite(np.asarray(x_pool)).all()
         break
+
+
+def test_register_precoarsener_both_forms():
+    """register_precoarsener works as a plain call AND as a decorator
+    (fn=None branch); unknown aliases list the registry."""
+    from tgp_tpu.precoarsen.api import (
+        PRECOARSENERS,
+        precoarsen_graph,
+        register_precoarsener,
+    )
+
+    def fake_level(edge_index, num_nodes, edge_weight=None, **kw):
+        import numpy as np
+
+        return {
+            "cluster_index": np.zeros(num_nodes, np.int64),
+            "num_clusters": 1,
+            "edge_index": np.zeros((2, 0), np.int64),
+            "edge_weight": np.zeros(0, np.float32),
+            "kind": "sparse",
+        }
+
+    try:
+        register_precoarsener("fake_direct", fake_level)
+
+        @register_precoarsener("fake_deco")
+        def fake2(edge_index, num_nodes, edge_weight=None, **kw):
+            return fake_level(edge_index, num_nodes, edge_weight, **kw)
+
+        ei = np.array([[0, 1], [1, 0]])
+        for alias in ("fake_direct", "fake_deco"):
+            out = precoarsen_graph(alias, ei, 2)
+            assert out[0]["num_clusters"] == 1
+
+        with pytest.raises(ValueError, match="unknown precoarsener"):
+            precoarsen_graph("nope", ei, 2)
+    finally:
+        PRECOARSENERS.pop("fake_direct", None)
+        PRECOARSENERS.pop("fake_deco", None)
+
+
+def test_precoarsening_single_string_config_replicates():
+    """PreCoarsening(poolers='graclus', levels=2): the single-string config
+    branch replicates the alias across levels."""
+    from tgp_tpu.precoarsen.api import PreCoarsening
+
+    rng = np.random.default_rng(0)
+    n = 12
+    upper = np.triu(rng.random((n, n)) < 0.4, k=1)
+    adj = upper | upper.T
+    s, r = np.nonzero(adj)
+    x = rng.normal(size=(n, 3)).astype(np.float32)
+    pc = PreCoarsening(poolers="graclus", levels=2)
+    out = pc((x, np.stack([s, r])))
+    levels = out[-1]
+    assert len(levels) == 2
+    assert levels[1]["num_clusters"] <= levels[0]["num_clusters"]
