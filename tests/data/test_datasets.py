@@ -323,3 +323,64 @@ def test_bucketed_loader_trains_jit():
         logits = fwd(params, batch)
         assert logits.shape == (4, 3)
         assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_graph_loader_explicit_budgets_and_no_labels():
+    """Explicit pad_nodes/pad_edges/max_nodes override the computed budgets
+    (the `or` branches); labels=None yields bare batches."""
+    from tgp_tpu.data.loaders import GraphLoader
+
+    rng = np.random.default_rng(0)
+    graphs = []
+    for i in range(5):
+        n = 6 + i
+        x = rng.normal(size=(n, 3)).astype(np.float32)
+        ei = np.array([[j, (j + 1) % n] for j in range(n)]).T
+        graphs.append((x, ei))
+    ld = GraphLoader(graphs, batch_size=2, pad_nodes=64, pad_edges=128,
+                     max_nodes=16)
+    assert ld.pad_nodes == 64 and ld.pad_edges == 128 and ld.max_nodes == 16
+    batches = list(ld)
+    assert len(batches) == 3
+    for b in batches:  # bare GraphBatch, no (batch, y) tuple
+        assert b.num_nodes == 64
+
+
+def test_graph_loader_shuffle_cycles_short_final_batch():
+    """shuffle=True reorders; the short final batch cycles to keep B
+    static (wrap branch)."""
+    from tgp_tpu.data.loaders import GraphLoader
+
+    rng = np.random.default_rng(1)
+    graphs = []
+    for i in range(5):
+        x = rng.normal(size=(4, 2)).astype(np.float32)
+        ei = np.array([[0, 1], [1, 0]])
+        graphs.append((x, ei))
+    y = np.arange(5)
+    ld = GraphLoader(graphs, labels=y, batch_size=3, shuffle=True, seed=3)
+    seen = []
+    for batch, yy in ld:
+        assert len(yy) == 3
+        seen.extend(yy.tolist())
+    assert set(seen) == set(range(5))  # every graph appears
+    assert len(seen) == 6              # final batch cycled one repeat
+
+
+def test_bucketed_loader_more_buckets_than_graphs():
+    """num_buckets > len(graphs) clamps; empty quantile parts are skipped."""
+    from tgp_tpu.data.loaders import BucketedGraphLoader
+
+    rng = np.random.default_rng(2)
+    graphs = []
+    for n in (4, 20):
+        x = rng.normal(size=(n, 2)).astype(np.float32)
+        ei = np.array([[j, (j + 1) % n] for j in range(n)]).T
+        graphs.append((x, ei))
+    ld = BucketedGraphLoader(graphs, labels=np.array([0, 1]), batch_size=1,
+                             num_buckets=8)
+    assert 1 <= len(ld.buckets) <= 2
+    total = sum(len(b) for b in ld.buckets)
+    assert total == 2
+    for batch, y in ld:
+        assert batch.num_graphs == 1

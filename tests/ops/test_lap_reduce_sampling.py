@@ -345,3 +345,37 @@ def test_assign_all_nodes_dense_matches_sparse():
         np.testing.assert_array_equal(
             np.asarray(outs["sparse"].node_sel_mask),
             np.asarray(outs["dense"].node_sel_mask))
+
+
+def test_graclus_level_native_failure_fallback(monkeypatch):
+    """graclus_level's except-branch: the NumPy twin produces the same
+    deterministic matching when the native library is unavailable."""
+    import tgp_tpu._native as native_mod
+    from tgp_tpu.precoarsen.graclus import graclus_level
+
+    rng = np.random.default_rng(0)
+    n = 16
+    upper = np.triu(rng.random((n, n)) < 0.3, k=1)
+    adj = upper | upper.T
+    s, r = np.nonzero(adj)
+    ei = np.stack([s, r])
+    w = rng.uniform(0.5, 2.0, s.size).astype(np.float32)
+
+    ok = graclus_level(ei, n, w)
+
+    def boom(*a, **k):
+        raise OSError("simulated missing native lib")
+
+    monkeypatch.setattr(native_mod, "native_graclus_matching", boom)
+    fb = graclus_level(ei, n, w)
+    np.testing.assert_array_equal(ok["cluster_index"], fb["cluster_index"])
+
+
+def test_graclus_matching_numpy_unweighted_and_self_loops():
+    """edge_weight=None branch (unit weights) + self-loop skip branch."""
+    from tgp_tpu.precoarsen.graclus import graclus_matching_numpy
+
+    ei = np.array([[0, 1, 2, 2, 3], [1, 0, 2, 3, 2]])  # incl. loop (2,2)
+    cl = graclus_matching_numpy(ei, 4)
+    # (0,1) matched; (2,3) matched despite the self-loop appearing first
+    assert cl[0] == cl[1] and cl[2] == cl[3] and cl[0] != cl[2]

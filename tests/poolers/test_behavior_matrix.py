@@ -309,3 +309,42 @@ def test_dense_flag_combination_lattice(batched, adj_transpose,
     g = out.graph if out.graph is not None else out.dense
     x = g.x
     assert np.isfinite(np.asarray(x)).all()
+
+
+# --------------------------------------------------------------- PAN knobs
+def test_pan_pass_so_skips_selection(batch):
+    """so= given: PANPooling reuses the cached selection (select/connect
+    caching contract, SURVEY §2.1)."""
+    pooler, params, out = _run("pan", batch)
+    out2 = pooler.apply(params, batch, so=out.so)
+    np.testing.assert_array_equal(np.asarray(out.so.node_sel_mask),
+                                  np.asarray(out2.so.node_sel_mask))
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(out2.x),
+                               rtol=1e-6)
+
+
+def test_pan_met_degree_override_changes_scores(batch):
+    """met_degree explicitly given replaces the edge-weight degree term."""
+    pooler, params, out = _run("pan", batch)
+    huge = jnp.where(batch.node_mask,
+                     jnp.arange(batch.num_nodes, dtype=jnp.float32), 0.0)
+    out2 = pooler.apply(params, batch, met_degree=huge)
+    assert not np.array_equal(np.asarray(out.so.node_sel_mask),
+                              np.asarray(out2.so.node_sel_mask))
+
+
+def test_pan_lifting_mode(batch):
+    """lifting=True lifts pooled features back to node space (reference
+    PANPooling lifting mode, tgp/poolers/pan.py)."""
+    pooler, params, out = _run("pan", batch)
+    lifted = pooler.apply(params, batch, so=out.so, x=out.x, lifting=True)
+    assert lifted.shape[0] == batch.num_nodes
+    assert np.isfinite(np.asarray(lifted)).all()
+
+
+def test_pan_lifting_default_x(batch):
+    """lifting=True with x=None lifts batch.x (the x-is-None branch) —
+    shape contract only (the reduce is not an involution)."""
+    pooler, params, out = _run("pan", batch)
+    lifted = pooler.apply(params, batch, so=out.so, lifting=True)
+    assert lifted.shape == (batch.num_nodes, batch.num_features)
