@@ -377,7 +377,10 @@ def _banded_kernel(row_ptr_ref, win_base_ref, lo_ref, hi_ref, x_hbm,
             # gather as a one-hot matmul: S_ohᵀ[j, e] = w_e·1[send_e == base+j]
             iota_w = base + jax.lax.broadcasted_iota(
                 jnp.int32, (window, block_edges), 0)
-            s_oht = jnp.where(send_row == iota_w, w_row, 0.0)
+            # s_oht must match x's dtype for the MXU dot (bf16 weights
+            # are exact for typical GCN-normalized values; f32 x keeps f32)
+            s_oht = jnp.where(send_row == iota_w, w_row,
+                              0.0).astype(x_hbm.dtype)
             msgs = jax.lax.dot_general(
                 s_oht, x_win[:], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -398,7 +401,10 @@ def _banded_kernel(row_ptr_ref, win_base_ref, lo_ref, hi_ref, x_hbm,
 
     pl.run_scoped(
         body,
-        x_win=pltpu.VMEM((window, x_hbm.shape[-1]), jnp.float32),
+        # scratch dtype must match the HBM source (a bf16→f32 DMA is an
+        # element-type mismatch at the Mosaic level — caught on-chip by
+        # scripts/exp_r3_banded.py)
+        x_win=pltpu.VMEM((window, x_hbm.shape[-1]), x_hbm.dtype),
         send_buf=pltpu.VMEM((2, 8, block_edges), jnp.int32),
         w_buf=pltpu.VMEM((2, 8, block_edges), jnp.float32),
         x_sem=pltpu.SemaphoreType.DMA,
