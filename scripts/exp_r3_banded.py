@@ -19,11 +19,10 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 import numpy as np
 
 N, E, F = 65_536, 1_048_576, 128
-BW = 1024
 ITERS = 30
 
 
-def main():
+def main(BW=1024):
     import jax
     import jax.numpy as jnp
 
@@ -75,14 +74,14 @@ def main():
         print(f"{tag:16s} {dt*1e3:7.2f} ms  ({E/dt/1e9:5.2f} Gedge/s)"
               f"  [compile {comp:.0f}s]", flush=True)
 
-    timed("xla", lambda h: jax.ops.segment_sum(
-        h[sj] * wj[:, None].astype(h.dtype), rj, num_segments=N,
-        indices_are_sorted=True))
-    timed("gather_grouped", lambda h: sorted_segment_sum_grouped(
+    timed(f"gather_grouped_bw{BW}", lambda h: sorted_segment_sum_grouped(
         h[sj] * wj[:, None].astype(h.dtype), None, row_ptr, N))
-    timed("banded", lambda h: spmm_banded(
+    timed(f"banded_bw{BW}_w{window}", lambda h: spmm_banded(
         h, sj, rj, wj.astype(h.dtype), N, window=window))
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    for bw in ([int(a) for a in _sys.argv[1:]] or [192, 448, 1024]):
+        main(bw)

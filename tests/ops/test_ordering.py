@@ -62,9 +62,11 @@ def test_plan_picks_banded_for_grid_and_matches_xla():
     w = rng.uniform(0.5, 2.0, ei.shape[1]).astype(np.float32)
     x = rng.normal(size=(n, 128)).astype(np.float32)
 
-    plan = plan_locality_spmm(ei, n, w)
+    plan = plan_locality_spmm(ei, n, w, engine="banded")
     assert plan["engine"] == "banded"
     assert plan["window"] % 128 == 0
+    # auto resolves to sorted (measured-best on v5e, see ordering.py)
+    assert plan_locality_spmm(ei, n, w)["engine"] == "sorted"
 
     want = np.asarray(spmm(jnp.asarray(ei[0]), jnp.asarray(ei[1]),
                            jnp.asarray(w), jnp.asarray(x), n))
@@ -80,6 +82,8 @@ def test_plan_falls_back_to_sorted_for_random_graph():
     ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)])
     plan = plan_locality_spmm(ei, n, max_window=512)
     assert plan["engine"] == "sorted"
+    with pytest.raises(ValueError, match="exceeds max_window"):
+        plan_locality_spmm(ei, n, max_window=512, engine="banded")
     x = rng.normal(size=(n, 128)).astype(np.float32)
     out_new = locality_spmm(plan, jnp.asarray(x[plan["perm"]]),
                             interpret=True)

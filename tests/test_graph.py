@@ -58,3 +58,72 @@ def test_single_graph():
     assert int(b.nodes_per_graph()[0]) == 10
     d = to_dense(b)
     assert d.x.shape[0] == 1
+
+
+def test_from_graphs_edge_cases():
+    """Branch matrix of the collator: 1-D features, explicit weights,
+    empty list, too-small budgets, max_nodes guard."""
+    import pytest
+
+    from tgp_tpu.graph import from_graphs
+
+    # 1-D features are promoted to [N, 1]
+    b = from_graphs([(np.ones(4, np.float32), np.array([[0, 1], [1, 0]]))])
+    assert b.x.shape[1] == 1
+
+    # explicit edge weights pass through
+    ei = np.array([[0, 1], [1, 0]])
+    w = np.array([2.0, 3.0], np.float32)
+    b = from_graphs([(np.ones((2, 3), np.float32), ei, w)])
+    em = np.asarray(b.edge_mask)
+    np.testing.assert_allclose(np.asarray(b.edge_weight)[em], [2.0, 3.0])
+
+    with pytest.raises(ValueError, match="at least one graph"):
+        from_graphs([])
+
+    with pytest.raises(ValueError, match="max_nodes"):
+        from_graphs([(np.ones((5, 2), np.float32), ei)], max_nodes=3)
+
+    with pytest.raises(ValueError, match="padding budget too small"):
+        from_graphs([(np.ones((5, 2), np.float32), ei)], pad_nodes=3)
+
+
+def test_from_graphs_sort_edges_layout():
+    from tgp_tpu.graph import from_graphs
+
+    rng = np.random.default_rng(0)
+    n = 10
+    ei = np.stack([rng.integers(0, n, 30), rng.integers(0, n, 30)])
+    b = from_graphs([(rng.normal(size=(n, 2)).astype(np.float32), ei)],
+                    sort_edges=True)
+    r = np.asarray(b.receivers)
+    em = np.asarray(b.edge_mask)
+    assert (np.diff(r[em]) >= 0).all()
+    assert b.edges_sorted
+
+
+def test_from_dense_keep_self_loops_branch():
+    from tgp_tpu.graph import DenseGraphBatch, from_dense
+
+    adj = np.zeros((1, 3, 3), np.float32)
+    adj[0, 0, 0] = 1.0   # self-loop
+    adj[0, 0, 1] = 2.0
+    x = np.ones((1, 3, 2), np.float32)
+    mask = np.array([[True, True, False]])
+    dense = DenseGraphBatch(x=jnp.asarray(x), adj=jnp.asarray(adj),
+                            mask=jnp.asarray(mask))
+    with_loops = from_dense(dense)  # default keeps self-loops
+    without = from_dense(dense, keep_self_loops=False)
+    assert int(np.asarray(without.edge_mask).sum()) == 1
+    assert int(np.asarray(with_loops.edge_mask).sum()) == 2
+
+
+def test_to_dense_explicit_max_nodes():
+    from tgp_tpu.graph import from_graphs, to_dense
+
+    ei = np.array([[0, 1], [1, 0]])
+    b = from_graphs([(np.ones((3, 2), np.float32), ei)])
+    d = to_dense(b, max_nodes=8)
+    assert d.x.shape == (1, 8, 2)
+    assert d.adj.shape == (1, 8, 8)
+    assert np.asarray(d.mask).sum() == 3

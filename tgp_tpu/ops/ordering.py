@@ -81,16 +81,23 @@ def choose_banded_window(bandwidth: int, block_rows: int = 128,
 
 
 def plan_locality_spmm(edge_index, num_nodes: int, edge_weight=None, *,
-                       block_rows: int = 128, max_window: int = 4096):
-    """Host-side plan: RCM-order the graph and decide the SpMM engine.
+                       block_rows: int = 128, max_window: int = 4096,
+                       engine: str = "auto"):
+    """Host-side plan: RCM-order the graph and pick the SpMM engine.
 
-    Returns a dict with the relabeled static layout (receiver-sorted) and
-    ``engine ∈ {"banded", "sorted"}``:
+    Returns a dict with the relabeled static layout (receiver-sorted),
+    the RCM ``bandwidth``/``window``, and ``engine ∈ {"banded", "sorted"}``.
 
-      * ``"banded"`` — the RCM bandwidth fits a VMEM window: run
-        :func:`~tgp_tpu.ops.pallas.segment_spmm.spmm_banded` with
-        ``window``; the gather leg and the [E, F] message tensor disappear.
-      * ``"sorted"`` — band too wide: gather + grouped sorted-CSR kernel.
+    ``engine="auto"`` currently always resolves to ``"sorted"`` (gather +
+    grouped sorted-CSR): the round-3 on-chip sweep (scripts/exp_r3_banded.py,
+    v5e, E=1M, F=128, bf16) measured the fused banded kernel LOSING to
+    gather+grouped at every window — 11.9 ms at window 640 / 12.8 at 1152 /
+    14.8 at 2304 vs 4.57 ms — the in-kernel one-hot gather costs
+    ``E·window·F`` MACs plus a ``window×BE`` VPU mask per chunk, which
+    exceeds what the random-row gather saves.  RCM ordering still helps the
+    sorted engine (spatially-close senders → better gather locality) and
+    the banded engine stays available as ``engine="banded"`` for very
+    narrow bands or future hardware where the tradeoff flips.
 
     All outputs are static per graph layout — compute once in the loader,
     reuse every step.  ``out[inv]`` maps results back to the input order.
@@ -112,8 +119,20 @@ def plan_locality_spmm(edge_index, num_nodes: int, edge_weight=None, *,
     s_s, r_s, w_s = ei[0][order], ei[1][order], w[order]
     counts = np.bincount(r_s, minlength=num_nodes)
     row_ptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    if engine == "auto":
+        chosen = "sorted"  # measured-best on v5e (see docstring)
+    elif engine == "banded":
+        if window is None:
+            raise ValueError(
+                f"bandwidth {bw} exceeds max_window={max_window}; "
+                "banded engine not applicable")
+        chosen = "banded"
+    elif engine == "sorted":
+        chosen = "sorted"
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
     return {
-        "engine": "banded" if window is not None else "sorted",
+        "engine": chosen,
         "window": window,
         "bandwidth": bw,
         "perm": perm,

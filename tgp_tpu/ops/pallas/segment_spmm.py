@@ -319,7 +319,11 @@ def _banded_kernel(row_ptr_ref, win_base_ref, lo_ref, hi_ref, x_hbm,
     r0 = rb * block_rows
     e_start = row_ptr_ref[r0]
     e_end = row_ptr_ref[r0 + block_rows]
-    base = win_base_ref[rb]
+    # win_base is host-aligned to 8 ((min_send // 8) * 8); Mosaic cannot
+    # prove that for a traced value, so assert it — without the hint large
+    # windows fail to compile ("tile index in dimension 0 not divisible by
+    # the tiling (8)", found by scripts/exp_r3_banded.py on-chip)
+    base = pl.multiple_of(win_base_ref[rb], 8)
     F = out_ref.shape[-1]
 
     c0 = e_start // block_edges
