@@ -126,3 +126,81 @@ def test_rank3_helpers():
     d = np.asarray(rank3_diag(jnp.asarray(v)))
     for b in range(3):
         np.testing.assert_allclose(d[b], np.diag(v[b]), rtol=1e-6)
+
+
+def test_coalesce_reduce_modes():
+    """sum / max / mean reductions over duplicate (s, r) runs."""
+    from tgp_tpu.ops.sparse import coalesce
+
+    s = jnp.asarray([0, 0, 0, 1, 2], jnp.int32)
+    r = jnp.asarray([1, 1, 2, 2, 0], jnp.int32)
+    w = jnp.asarray([1.0, 3.0, 5.0, 7.0, 9.0])
+    m = jnp.ones(5, bool)
+    for red, expect01 in (("sum", 4.0), ("max", 3.0), ("mean", 2.0)):
+        ss, rr, ww, mm = coalesce(s, r, w, m, 3, reduce=red)
+        lut = {(int(a), int(b)): float(v)
+               for a, b, v, k in zip(ss, rr, ww, mm) if k}
+        assert lut[(0, 1)] == expect01, red
+        assert lut[(0, 2)] == 5.0 and lut[(1, 2)] == 7.0 and lut[(2, 0)] == 9.0
+        assert int(np.asarray(mm).sum()) == 4
+
+
+def test_coalesce_masked_edges_ignored():
+    from tgp_tpu.ops.sparse import coalesce
+
+    s = jnp.asarray([0, 0, 1], jnp.int32)
+    r = jnp.asarray([1, 1, 0], jnp.int32)
+    w = jnp.asarray([1.0, 100.0, 2.0])
+    m = jnp.asarray([True, False, True])  # the 100 is padding
+    _, _, ww, mm = coalesce(s, r, w, m, 2)
+    valid = np.asarray(ww)[np.asarray(mm)]
+    assert 100.0 not in valid.tolist()
+    assert sorted(valid.tolist()) == [1.0, 2.0]
+
+
+def test_add_remaining_self_loops_fill_and_existing():
+    from tgp_tpu.ops.sparse import add_remaining_self_loops
+
+    s = jnp.asarray([0, 1, 1], jnp.int32)
+    r = jnp.asarray([1, 0, 1], jnp.int32)  # (1,1) loop exists with w=5
+    w = jnp.asarray([1.0, 1.0, 5.0])
+    em = jnp.ones(3, bool)
+    nm = jnp.asarray([True, True, False])  # node 2 is padding
+    ss, rr, ww, mm = add_remaining_self_loops(s, r, w, em, nm, fill_value=7.0)
+    loops = {int(a): float(v) for a, b, v, k in zip(ss, rr, np.asarray(ww),
+                                                    np.asarray(mm))
+             if k and int(a) == int(b)}
+    assert loops[0] == 7.0   # filled
+    assert loops[1] == 5.0   # kept original weight
+    assert 2 not in loops    # padding node gets no loop
+
+
+def test_postprocess_sparse_prune_eps_filters_tiny_weights():
+    """reference test_ops.py:254-271: ε-pruning drops |w| ≤ eps."""
+    from tgp_tpu.ops.sparse import postprocess_adj_sparse
+
+    s = jnp.asarray([0, 1, 2, 0], jnp.int32)
+    r = jnp.asarray([1, 2, 0, 2], jnp.int32)
+    w = jnp.asarray([0.5, 1e-4, -0.8, 1e-5])
+    m = jnp.ones(4, bool)
+    ng = jnp.zeros(3, jnp.int32)
+    _, _, ww, mm = postprocess_adj_sparse(
+        s, r, w, m, ng, 3, 1, remove_self_loops_flag=False, prune_eps=1e-3)
+    kept = np.asarray(ww)[np.asarray(mm)]
+    np.testing.assert_allclose(sorted(kept.tolist()), [-0.8, 0.5], rtol=1e-6)
+
+
+def test_postprocess_sparse_edge_weight_norm_per_graph():
+    from tgp_tpu.ops.sparse import postprocess_adj_sparse
+
+    # two graphs: nodes 0-1 (graph 0, max |w| 4), nodes 2-3 (graph 1, max 8)
+    s = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    r = jnp.asarray([1, 0, 3, 2], jnp.int32)
+    w = jnp.asarray([4.0, -2.0, 8.0, 1.0])
+    m = jnp.ones(4, bool)
+    ng = jnp.asarray([0, 0, 1, 1], jnp.int32)
+    _, _, ww, mm = postprocess_adj_sparse(
+        s, r, w, m, ng, 4, 2, remove_self_loops_flag=False,
+        edge_weight_norm=True)
+    out = np.asarray(ww)
+    np.testing.assert_allclose(out, [1.0, -0.5, 1.0, 0.125])
