@@ -228,3 +228,95 @@ def test_gtvconv_matches_numpy_oracle(delta):
     # sparse path agrees with the same oracle
     out_sp = np.asarray(conv.apply(params, b))[:n]
     np.testing.assert_allclose(out_sp, expect, rtol=2e-4, atol=2e-5)
+
+
+def test_panconv_filter_size_changes_met(batch):
+    """filter_size L sums MET hops 0..L: larger L adds longer-range mass."""
+    from tgp_tpu.mp.pan import PANConv
+
+    outs = {}
+    for L in (1, 3):
+        conv = PANConv(8, filter_size=L)
+        params = conv.init(jax.random.key(0), batch)
+        _, met_deg, met_w = conv.apply(params, batch)[:3]
+        outs[L] = np.asarray(met_deg)
+    assert not np.allclose(outs[1], outs[3])
+
+
+def test_panconv_return_dense_met_shape_and_consistency(batch):
+    """return_dense_met=True appends [B, Nmax, Nmax]; its edge-support
+    gather equals met_edge_weight."""
+    from tgp_tpu.mp.pan import PANConv
+
+    conv = PANConv(8, return_dense_met=True)
+    params = conv.init(jax.random.key(0), batch)
+    x_out, met_deg, met_w, met_dense = conv.apply(params, batch)
+    assert met_dense.shape == (batch.num_graphs, batch.max_nodes,
+                               batch.max_nodes)
+    md = np.asarray(met_dense)
+    s = np.asarray(batch.senders)
+    r = np.asarray(batch.receivers)
+    em = np.asarray(batch.edge_mask)
+    ng = np.asarray(batch.node_graph)
+    pos = np.asarray(batch.node_pos)
+    got = md[ng[s[em]], pos[s[em]], pos[r[em]]]
+    np.testing.assert_allclose(got, np.asarray(met_w)[em], rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_panconv_unnormalized_branch(batch):
+    from tgp_tpu.mp.pan import PANConv
+
+    conv_n = PANConv(8, normalize=True)
+    conv_r = PANConv(8, normalize=False)
+    params = conv_n.init(jax.random.key(0), batch)
+    out_n = conv_n.apply(params, batch)[0]
+    out_r = conv_r.apply(params, batch)[0]
+    assert not np.allclose(np.asarray(out_n), np.asarray(out_r))
+
+
+def test_gtvconv_delta_knob(batch):
+    from tgp_tpu.mp.gtvconv import GTVConv
+
+    base = GTVConv(8)
+    params = base.init(jax.random.key(0), batch)
+    out = base.apply(params, batch)
+    out_d = GTVConv(8, delta_coeff=3.0).apply(params, batch)
+    assert not np.allclose(np.asarray(out), np.asarray(out_d))
+
+
+def test_gtvconv_eps_clamps_identical_features(batch):
+    """eps only matters when |h_i − h_j| < eps: with identical node
+    features the TV weights become w/eps, so eps rescales the output."""
+    from tgp_tpu.mp.gtvconv import GTVConv
+
+    flat = batch.replace(x=jnp.ones_like(batch.x))
+    base = GTVConv(8, act=None)
+    params = base.init(jax.random.key(0), flat)
+    out1 = np.asarray(base.apply(params, flat))
+    out2 = np.asarray(GTVConv(8, act=None, eps=0.5).apply(params, flat))
+    assert not np.allclose(out1, out2)
+
+
+def test_gtvconv_identity_activation(batch):
+    from tgp_tpu.mp.gtvconv import GTVConv
+
+    conv = GTVConv(8, act=None)
+    params = conv.init(jax.random.key(0), batch)
+    out = np.asarray(conv.apply(params, batch))
+    # no relu: negatives survive
+    assert (out < 0).any()
+
+
+def test_leconv_reference_bias_placement(batch):
+    """Reference-exact lin1/lin2/lin3 bias layout (oracle-found round-2
+    fix): neighbor and root Dense carry biases, the self term does not."""
+    from tgp_tpu.mp.leconv import LEConv
+
+    conv = LEConv(8)
+    params = conv.init(jax.random.key(0), batch.x, batch.senders,
+                       batch.receivers, batch.edge_weight, batch.num_nodes)
+    names = {jax.tree_util.keystr(k)
+             for k, _ in jax.tree_util.tree_leaves_with_path(params)}
+    biased = {n for n in names if "bias" in n}
+    assert len(biased) == 2  # lin1 + lin3, not lin2
