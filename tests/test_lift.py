@@ -16,7 +16,7 @@ from tgp_tpu.lift.base import (
     lift_sparse,
 )
 from tgp_tpu.poolers import get_pooler
-from tgp_tpu.select.base import SelectOutput
+from tgp_tpu.select.base import SelectOutput, cluster_to_select_output
 from tests.utils_graphs import make_batch
 
 
@@ -137,9 +137,51 @@ def test_pinv_lift_rank_deficient_s_finite():
     """Moore-Penrose lift of a rank-deficient S (every node in one cluster)
     stays finite — jnp.linalg.pinv handles the zero singular values."""
     from tgp_tpu.lift.base import lift_dense_batched
-    from tgp_tpu.select.base import SelectOutput
+    from tgp_tpu.select.base import SelectOutput, cluster_to_select_output
 
     S = jnp.zeros((2, 6, 3)).at[:, :, 0].set(1.0)
     so = SelectOutput(s=S, num_clusters=3, num_graphs=2, s_inv_op="inverse")
     out = lift_dense_batched(jnp.ones((2, 3, 4)), so, matrix_op="precomputed")
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("matrix_op", ["precomputed", "transpose", "inverse"])
+@pytest.mark.parametrize("reduce_op", ["sum", "mean", "max"])
+def test_full_lift_matrix_lattice(matrix_op, reduce_op):
+    """Every matrix_op × reduce_op cell runs and, for a hard assignment,
+    sum == mean == max (one entry per node — reference _lift_sparse
+    semantics, base_lift.py:102-111)."""
+    b = make_batch([6, 5], num_features=3, seed=8)
+    ci = jnp.where(b.node_mask, b.node_graph, 0).astype(jnp.int32)
+    so = cluster_to_select_output(ci, b, num_clusters=2, max_clusters=2)
+    x_pool = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 3)).astype(np.float32))
+    out = base_lift(x_pool, so, matrix_op=matrix_op, reduce_op=reduce_op)
+    assert out.shape == (b.num_nodes, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    if matrix_op == "transpose":
+        # hard unit-weight assignment → lift = broadcast of cluster row
+        want = np.asarray(x_pool)[np.asarray(ci)]
+        want[~np.asarray(b.node_mask)] = 0.0
+        got = np.asarray(out) * np.asarray(b.node_mask)[:, None]
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_lift_reduce_ops_agree_on_hard_assignment():
+    b = make_batch([6, 5], num_features=3, seed=8)
+    ci = jnp.where(b.node_mask, b.node_graph, 0).astype(jnp.int32)
+    so = cluster_to_select_output(ci, b, num_clusters=2, max_clusters=2)
+    x_pool = jnp.ones((2, 3))
+    outs = [np.asarray(base_lift(x_pool, so, matrix_op="transpose",
+                                 reduce_op=op)) for op in ("sum", "mean",
+                                                           "max")]
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6)
+    np.testing.assert_allclose(outs[0], outs[2], rtol=1e-6)
+
+
+def test_lift_invalid_matrix_op_raises():
+    b = make_batch([4], num_features=3, seed=0)
+    ci = jnp.zeros(b.num_nodes, jnp.int32)
+    so = cluster_to_select_output(ci, b, num_clusters=1, max_clusters=1)
+    with pytest.raises(ValueError, match="matrix_op"):
+        base_lift(jnp.ones((1, 3)), so, matrix_op="bogus")
