@@ -103,3 +103,56 @@ def test_segment_softmax_fully_masked_segment_is_zero():
     assert np.isfinite(sm).all()
     np.testing.assert_allclose(sm[2:], 0.0)
     np.testing.assert_allclose(sm[:2].sum(), 1.0, rtol=1e-6)
+
+
+def test_segment_normalize_max_abs(data):
+    from tgp_tpu.ops.segment import segment_normalize
+
+    vals, seg, mask, s = data
+    v = jnp.asarray(vals[:, 0])
+    out = np.asarray(segment_normalize(v, jnp.asarray(seg), s,
+                                       mask=jnp.asarray(mask)))
+    for g in range(s):
+        sel = mask & (seg == g)
+        if sel.any():
+            mx = np.abs(vals[sel, 0]).max()
+            np.testing.assert_allclose(out[sel], vals[sel, 0] / mx,
+                                       rtol=1e-5)
+    # masked entries pass through unchanged
+    np.testing.assert_allclose(out[~mask], vals[~mask, 0], rtol=1e-6)
+
+
+def test_segment_normalize_sum_and_unknown_ord(data):
+    from tgp_tpu.ops.segment import segment_normalize
+
+    vals, seg, mask, s = data
+    v = jnp.abs(jnp.asarray(vals[:, 0])) + 0.1
+    out = np.asarray(segment_normalize(v, jnp.asarray(seg), s,
+                                       mask=jnp.asarray(mask), ord="sum"))
+    for g in range(s):
+        sel = mask & (seg == g)
+        if sel.any():
+            np.testing.assert_allclose(out[sel].sum(), 1.0, rtol=1e-5)
+    with pytest.raises(ValueError, match="unknown ord"):
+        segment_normalize(v, jnp.asarray(seg), s, ord="bogus")
+
+
+def test_segment_min_max_initial_values_on_empty_segment():
+    """A segment with no (valid) members returns the neutral init, not
+    garbage — the guard masked static-shape code relies on."""
+    v = jnp.asarray([1.0, 2.0])
+    seg = jnp.asarray([0, 0], jnp.int32)
+    mx = np.asarray(segment_max(v, seg, 3))
+    mn = np.asarray(segment_min(v, seg, 3))
+    assert mx[0] == 2.0 and mn[0] == 1.0
+    assert np.isfinite(mx[1:]).all() or (mx[1:] <= mn[0]).all()
+
+
+def test_segment_topk_rank_ties_stable(data):
+    """Equal scores rank by index order (stable), matching the reference's
+    deterministic perm construction."""
+    seg = jnp.asarray([0, 0, 0, 0], jnp.int32)
+    scores = jnp.asarray([1.0, 1.0, 1.0, 1.0])
+    rank = np.asarray(segment_topk_rank(scores, seg, 1))
+    assert sorted(rank.tolist()) == [0, 1, 2, 3]
+    np.testing.assert_array_equal(rank, [0, 1, 2, 3])
