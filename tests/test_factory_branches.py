@@ -1,0 +1,74 @@
+"""Pooler-factory behavioral matrix (reference factory semantics,
+tgp/poolers/__init__.py:131-140): `_u` suffix, argument-name translation,
+kwargs filtering, error listing, and custom registration."""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+import pytest
+
+from tgp_tpu.poolers import (
+    get_pooler,
+    pooler_map,
+    pooler_signature,
+    register_pooler,
+)
+from tests.utils_graphs import make_batch
+
+
+def test_u_suffix_selects_unbatched():
+    p = get_pooler("mincut_u", in_channels=4, k=3)
+    assert p.batched is False
+    p2 = get_pooler("mincut", in_channels=4, k=3)
+    assert p2.batched is True
+
+
+def test_u_suffix_does_not_override_explicit():
+    p = get_pooler("mincut_u", in_channels=4, k=3, batched=True)
+    assert p.batched is True  # explicit wins over the suffix default
+
+
+def test_reference_arg_name_translation():
+    """`nonlinearity=` (reference topk spelling) lands on our `act`."""
+    p = get_pooler("topk", in_channels=4, nonlinearity="sigmoid")
+    sig = pooler_signature(type(p))
+    key = "act" if "act" in sig else "nonlinearity"
+    assert getattr(p, key) == "sigmoid"
+
+
+def test_irrelevant_kwargs_silently_filtered():
+    p = get_pooler("topk", in_channels=4, utterly_unknown_kwarg=1,
+                   another_one="x")
+    assert not hasattr(p, "utterly_unknown_kwarg")
+
+
+def test_unknown_alias_lists_available():
+    with pytest.raises(ValueError) as e:
+        get_pooler("bogus")
+    msg = str(e.value)
+    assert "topk" in msg and "mincut" in msg
+
+
+def test_register_custom_pooler_roundtrip():
+    from tgp_tpu.poolers.topk import TopkPooling
+
+    class MyPool(TopkPooling):
+        pass
+
+    try:
+        register_pooler("mypool_test", MyPool)
+        p = get_pooler("mypool_test", in_channels=4, ratio=0.5)
+        assert isinstance(p, MyPool)
+        assert "mypool_test" in pooler_map()
+    finally:
+        pooler_map().pop("mypool_test", None)
+
+
+def test_every_alias_instantiates_with_noise_kwargs():
+    """The filtering contract holds for the WHOLE registry: every alias
+    tolerates an unknown kwarg and instantiates."""
+    for alias in sorted(pooler_map()):
+        p = get_pooler(alias, in_channels=4, k=3, ratio=0.5,
+                       definitely_not_a_kwarg=0)
+        assert p is not None, alias
