@@ -384,3 +384,37 @@ def test_bucketed_loader_more_buckets_than_graphs():
     assert total == 2
     for batch, y in ld:
         assert batch.num_graphs == 1
+
+
+def test_tu_parser_edge_labels_onehot():
+    """MINI2 fixture: edge labels (no edge attributes, no node attributes)
+    — one-hot encoded per the reference's PyG TUDataset semantics."""
+    from tgp_tpu.datasets.tudataset import parse_tu_dir
+
+    graphs, y, edge_attrs = parse_tu_dir("tests/fixtures/tu", "MINI2")
+    assert len(graphs) == 6 and len(edge_attrs) == 6
+    for (x, ei), ea in zip(graphs, edge_attrs):
+        assert ea is not None and ea.shape == (ei.shape[1], 3)
+        # one-hot rows
+        np.testing.assert_allclose(ea.sum(1), 1.0)
+        assert set(np.unique(ea)) <= {0.0, 1.0}
+        # node features are the one-hot node labels (2 classes)
+        assert x.shape[1] == 2
+    assert set(y.tolist()) == {0, 1}
+
+
+def test_tu_parser_edge_labels_concat_with_attributes(tmp_path):
+    """Both edge_labels AND edge_attributes present → concatenated."""
+    import shutil
+
+    from tgp_tpu.datasets.tudataset import parse_tu_dir
+
+    src = Path("tests/fixtures/tu/MINI2")
+    dst = tmp_path / "MINI2"
+    shutil.copytree(src, dst)
+    n_edges = len((src / "MINI2_A.txt").read_text().strip().splitlines())
+    attrs = "\n".join(f"{i * 0.5}, {i * 0.25}" for i in range(n_edges))
+    (dst / "MINI2_edge_attributes.txt").write_text(attrs + "\n")
+    graphs, y, edge_attrs = parse_tu_dir(str(tmp_path), "MINI2")
+    for (x, ei), ea in zip(graphs, edge_attrs):
+        assert ea.shape == (ei.shape[1], 3 + 2)  # one-hot(3) + attrs(2)

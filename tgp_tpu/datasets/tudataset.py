@@ -79,8 +79,17 @@ def parse_tu_dir(root, name, use_node_attr=True, use_node_labels=True):
         np.add.at(deg, edges[:, 0], 1.0)
         x_all = deg[:, None]
 
-    e_attr_all = (_read_rows(p("edge_attributes")).astype(np.float32)
-                  if p("edge_attributes").exists() else None)
+    # edge features: concat(one-hot edge labels, edge attributes) — the
+    # reference's PyG TUDataset semantics (edge_labels one-hot encoded)
+    e_feats = []
+    if p("edge_labels").exists():
+        elab = _read_rows(p("edge_labels")).astype(np.int64)
+        elab = elab - elab.min()
+        e_feats.append(
+            np.eye(int(elab.max()) + 1, dtype=np.float32)[elab[:, 0]])
+    if p("edge_attributes").exists():
+        e_feats.append(_read_rows(p("edge_attributes")).astype(np.float32))
+    e_attr_all = np.concatenate(e_feats, axis=1) if e_feats else None
 
     # classes remapped to 0..C-1 (TU labels may be {-1,1} or {1..C})
     classes = np.unique(y_raw)
