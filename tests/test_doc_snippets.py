@@ -82,3 +82,79 @@ def test_advanced_snippets():
     out = pred(graphs)
     assert out.shape[0] == 3
     assert pred.num_compiled >= 1
+
+
+def test_readme_loader_and_serving_flow():
+    """README/tutorial serving flow: BucketedGraphLoader for training,
+    Predictor for inference — the two halves share budgets."""
+    import jax
+
+    from tgp_tpu.data.loaders import BucketedGraphLoader
+
+    rng = np.random.default_rng(0)
+    graphs, ys = [], []
+    for i in range(12):
+        n = int(rng.integers(4, 12))
+        ei = np.array([[j, (j + 1) % n] for j in range(n)]).T
+        graphs.append((rng.normal(size=(n, 3)).astype(np.float32), ei))
+        ys.append(i % 2)
+    ld = BucketedGraphLoader(graphs, labels=np.asarray(ys), batch_size=4,
+                             num_buckets=2, shuffle=True, seed=1)
+    seen = 0
+    for batch, y in ld:
+        assert batch.num_graphs == 4
+        seen += len(y)
+    assert seen >= 12
+
+
+def test_parallel_doc_flow_runs_on_virtual_mesh():
+    """docs/parallel.md recipe: balanced order + partition + sharded SpMM."""
+    import jax
+    import jax.numpy as jnp
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+
+    from tgp_tpu.parallel.spmm import (
+        balanced_node_order,
+        make_sharded_spmm,
+        partition_edges,
+    )
+    from tgp_tpu.parallel.train import make_mesh
+
+    rng = np.random.default_rng(1)
+    n, e, F = 64, 512, 8
+    s = rng.integers(0, n, e).astype(np.int32)
+    r = rng.integers(0, n, e).astype(np.int32)
+    w = rng.normal(size=e).astype(np.float32)
+    x = rng.normal(size=(n, F)).astype(np.float32)
+
+    perm, inv = balanced_node_order(r, n, 8, senders=s)
+    S, R, W, n_pad, rows_per = partition_edges(
+        inv[s].astype(np.int32), inv[r].astype(np.int32), w, perm.size, 8)
+    mesh = make_mesh(8, axis="gp")
+    fn = make_sharded_spmm(mesh, rows_per, axis="gp")
+    x_pad = np.zeros((n_pad, F), np.float32)
+    x_pad[:n] = x
+    with mesh:
+        out = fn(jnp.asarray(x_pad[np.minimum(perm, n_pad - 1)]), S, R, W)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_migration_doc_examples_hold():
+    """docs/migration.md: adj_transpose default False; KMIS random scorer
+    deterministic without a 'sample' stream."""
+    from tgp_tpu.poolers import get_pooler
+
+    p = get_pooler("mincut", in_channels=4, k=3)
+    assert p.adj_transpose is False  # documented deviation from reference
+
+
+def test_performance_doc_regime_map_constants():
+    """docs/performance + RESULTS regime map: the boundary constant exists
+    and matches the documented 262k."""
+    from tgp_tpu.ops.sparse import PALLAS_MIN_EDGES
+
+    assert PALLAS_MIN_EDGES == 1 << 18
