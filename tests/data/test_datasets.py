@@ -27,8 +27,13 @@ def test_tu_parse_mini():
     assert len(graphs) == 12 and len(labels) == 12
     assert ds.num_classes == 2
     assert set(np.unique(labels)) <= {0, 1}
-    # features = one-hot(3 node labels) + 2 attributes
+    # features = 2 attributes then one-hot(3 node labels) — PyG
+    # read_tu_data column order (attributes first)
     assert ds.num_features == 5
+    x0 = ds.load()[0][0][0]
+    onehot_block = x0[:, 2:]
+    np.testing.assert_allclose(onehot_block.sum(1), 1.0)
+    assert set(np.unique(onehot_block)) <= {0.0, 1.0}
     for x, ei in graphs:
         n = x.shape[0]
         assert ei.shape[0] == 2
@@ -417,4 +422,8 @@ def test_tu_parser_edge_labels_concat_with_attributes(tmp_path):
     (dst / "MINI2_edge_attributes.txt").write_text(attrs + "\n")
     graphs, y, edge_attrs = parse_tu_dir(str(tmp_path), "MINI2")
     for (x, ei), ea in zip(graphs, edge_attrs):
-        assert ea.shape == (ei.shape[1], 3 + 2)  # one-hot(3) + attrs(2)
+        assert ea.shape == (ei.shape[1], 2 + 3)  # attrs(2) then one-hot(3)
+        # PyG read_tu_data order: attribute columns first, labels after
+        lab_block = ea[:, 2:]
+        np.testing.assert_allclose(lab_block.sum(1), 1.0)
+        assert set(np.unique(lab_block)) <= {0.0, 1.0}

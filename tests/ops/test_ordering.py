@@ -96,3 +96,50 @@ def test_plan_falls_back_to_sorted_for_random_graph():
 def test_choose_banded_window_bounds():
     assert choose_banded_window(0) == 256  # block_rows + 8 rounded up
     assert choose_banded_window(100_000) is None
+
+
+def test_locality_spmm_arbitrary_node_count():
+    """Node counts that are not a multiple of the kernel's 128-row block
+    must work (ADVICE r3: raw num_rows tripped the alignment assert)."""
+    import numpy as np
+
+    from tgp_tpu.ops.ordering import locality_spmm, plan_locality_spmm
+
+    rng = np.random.default_rng(7)
+    n, e, f = 200, 900, 8  # 200 % 128 != 0
+    ei = rng.integers(0, n, (2, e))
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    plan = plan_locality_spmm(ei, n)
+    x_new = x[plan["perm"]]
+    out = np.asarray(locality_spmm(plan, jnp.asarray(x_new), interpret=True))
+    assert out.shape == (n, f)
+    # oracle: dense A @ x in the plan's node order
+    A = np.zeros((n, n), np.float32)
+    inv = plan["inv"]
+    for s, r in ei.T:
+        A[inv[r], inv[s]] += 1.0
+    np.testing.assert_allclose(out, A @ x_new, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_forced_pallas_requires_sorted():
+    """spmm(method='pallas') on unsorted receivers must raise, not return
+    silently wrong sums (ADVICE r3)."""
+    import numpy as np
+    import pytest
+
+    from tgp_tpu.ops.sparse import sort_by_receiver, spmm
+
+    rng = np.random.default_rng(8)
+    n, e, f = 64, 256, 4
+    s = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+    r = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+    w = jnp.ones(e, jnp.float32)
+    x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+    with pytest.raises(ValueError, match="indices_are_sorted"):
+        spmm(s, r, w, x, n, method="pallas")
+    # sorted input goes through (interpret-mode off-TPU) and matches XLA
+    s2, r2, w2 = sort_by_receiver(s, r, w)
+    got = spmm(s2, r2, w2, x, n, indices_are_sorted=True, method="pallas")
+    ref = spmm(s, r, w, x, n, method="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

@@ -182,3 +182,101 @@ def test_multi_aggr_default_triple(data):
     np.testing.assert_allclose(
         np.asarray(out[:, : x.shape[1]]),
         np.asarray(get_aggr("mean")(x, seg, C, mask)))
+
+
+def test_sequence_overflow_truncates_not_corrupts():
+    """Clusters longer than max_len must equal the truncated-sequence
+    oracle (elements ranked >= max_len DROPPED), not sum the overflow into
+    slot L-1 (r3 VERDICT weak #3)."""
+    from tgp_tpu.reduce.aggr import _to_padded_sequences
+
+    rng = np.random.default_rng(3)
+    n, C, L = 50, 2, 8  # cluster 0 gets ~25 members >> L
+    x = rng.normal(size=(n, 3)).astype(np.float32)
+    seg = jnp.asarray((np.arange(n) % C).astype(np.int32))
+    mask = jnp.ones(n, bool)
+    seqs, lmask = _to_padded_sequences(jnp.asarray(x), seg, C, mask, L)
+    seqs, lmask = np.asarray(seqs), np.asarray(lmask)
+    for c in range(C):
+        members = np.nonzero(np.asarray(seg) == c)[0]  # ascending node idx
+        trunc = x[members[:L]]
+        np.testing.assert_allclose(seqs[c], trunc, rtol=1e-6, atol=1e-6,
+                                   err_msg=f"cluster {c}")
+        assert lmask[c].all()  # budget fully used, nothing leaked past it
+
+
+def test_quantile_overflow_matches_truncated_oracle():
+    """median/quantile over an over-budget cluster = quantile of the FIRST
+    max_len members (truncation), never polluted by folded-in overflow."""
+    rng = np.random.default_rng(4)
+    n, C, L = 40, 1, 16
+    x = rng.normal(size=(n, 2)).astype(np.float32)
+    seg = jnp.zeros(n, jnp.int32)
+    mask = jnp.ones(n, bool)
+    out = np.asarray(get_aggr("median", max_len=L)(
+        jnp.asarray(x), seg, C, mask))
+    oracle = np.sort(x[:L], 0)[(L - 1) // 2]
+    np.testing.assert_allclose(out[0], oracle, rtol=1e-5, atol=1e-5)
+
+
+def test_sort_aggregation_overflow_keeps_topk_exact():
+    """SortAggregation with a segment larger than its internal budget must
+    return exactly the top-k rows by last feature (no overflow folding)."""
+    rng = np.random.default_rng(5)
+    n, k = 30, 3
+    x = rng.normal(size=(n, 4)).astype(np.float32)
+    seg = jnp.zeros(n, jnp.int32)
+    mask = jnp.ones(n, bool)
+    mod = AggrReduce(aggr=get_aggr("sort", k=k))
+    params = mod.init(jax.random.key(0), jnp.asarray(x), None,
+                      node_graph=seg, num_graphs=1, node_mask=mask)
+    out = np.asarray(mod.apply(params, jnp.asarray(x), None, node_graph=seg,
+                               num_graphs=1, node_mask=mask)).reshape(k, 4)
+    order = np.argsort(-x[:, -1], kind="stable")[:k]
+    np.testing.assert_allclose(out, x[order], rtol=1e-6, atol=1e-6)
+
+
+def test_lstm_overflow_equals_truncated_cluster():
+    """LSTM over an over-budget cluster == LSTM over its first max_len
+    members presented alone (same params): the overflow must be invisible."""
+    rng = np.random.default_rng(6)
+    L = 8
+    n_big = 20
+    x_big = rng.normal(size=(n_big, 3)).astype(np.float32)
+    seg_big = jnp.zeros(n_big, jnp.int32)
+    mod = AggrReduce(aggr=get_aggr("lstm", max_len=L))
+    params = mod.init(jax.random.key(0), jnp.asarray(x_big), None,
+                      node_graph=seg_big, num_graphs=1,
+                      node_mask=jnp.ones(n_big, bool))
+    out_big = mod.apply(params, jnp.asarray(x_big), None, node_graph=seg_big,
+                        num_graphs=1, node_mask=jnp.ones(n_big, bool))
+    x_trunc = x_big[:L]
+    out_trunc = mod.apply(params, jnp.asarray(x_trunc), None,
+                          node_graph=jnp.zeros(L, jnp.int32), num_graphs=1,
+                          node_mask=jnp.ones(L, bool))
+    np.testing.assert_allclose(np.asarray(out_big), np.asarray(out_trunc),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_aggr_reduce_accepts_plain_callable(data):
+    """AggrReduce takes any callable with the (x, seg, C, mask) contract —
+    the registry is sugar, not a wall (reference AggrReduce wraps any PyG
+    Aggregation instance, tgp/reduce/aggr_reduce.py:33-156)."""
+    x, seg, mask, C = data
+
+    def my_first_valid(x, seg, C, mask):
+        # custom: per-segment mean of squares
+        from tgp_tpu.ops.segment import segment_mean
+        return segment_mean(x * x, seg, C, mask=mask)
+
+    mod = AggrReduce(aggr=my_first_valid)
+    params = mod.init(jax.random.key(0), x, None, node_graph=seg,
+                      num_graphs=C, node_mask=mask)
+    out = np.asarray(mod.apply(params, x, None, node_graph=seg,
+                               num_graphs=C, node_mask=mask))
+    xn, sn, mn = np.asarray(x), np.asarray(seg), np.asarray(mask)
+    for c in range(C):
+        sel = (sn == c) & mn
+        if sel.sum():
+            np.testing.assert_allclose(out[c], (xn[sel] ** 2).mean(0),
+                                       rtol=1e-4, atol=1e-4)

@@ -13,6 +13,7 @@ from tgp_tpu.poolers import (
     pooler_map,
     pooler_signature,
     register_pooler,
+    unregister_pooler,
 )
 from tests.utils_graphs import make_batch
 
@@ -62,7 +63,10 @@ def test_register_custom_pooler_roundtrip():
         assert isinstance(p, MyPool)
         assert "mypool_test" in pooler_map()
     finally:
-        pooler_map().pop("mypool_test", None)
+        # pooler_map() returns a copy; popping from it would leak the alias
+        # into every later test (r3 red-gate bug). Use the real API.
+        unregister_pooler("mypool_test")
+    assert "mypool_test" not in pooler_map()
 
 
 def test_every_alias_instantiates_with_noise_kwargs():

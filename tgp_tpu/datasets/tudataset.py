@@ -39,6 +39,16 @@ def _read_rows(path: Path) -> np.ndarray:
     return np.asarray(rows)
 
 
+def _onehot_columns(lab: np.ndarray) -> list:
+    """One-hot encode every column of an integer label matrix ``[n, C]``
+    (each column shifted to start at 0), PyG read_tu_data style."""
+    out = []
+    for c in range(lab.shape[1]):
+        col = lab[:, c] - lab[:, c].min()
+        out.append(np.eye(int(col.max()) + 1, dtype=np.float32)[col])
+    return out
+
+
 def parse_tu_dir(root, name, use_node_attr=True, use_node_labels=True):
     """Parse one TU dataset directory into ``(graphs, labels, edge_attrs)``.
 
@@ -62,15 +72,16 @@ def parse_tu_dir(root, name, use_node_attr=True, use_node_labels=True):
     y_raw = _read_rows(p("graph_labels"))[:, 0]
     n_graphs = int(graph_of.max()) + 1
 
-    # features: concat(one-hot node labels, node attributes); fallback degree
+    # features: concat(node attributes, one-hot node labels) — attribute
+    # columns FIRST, then one-hot of EACH label column, matching PyG's
+    # read_tu_data ordering (torch_geometric/io/tu.py, the reference's
+    # TUDataset backend); fallback degree feature when neither exists.
     feats = []
-    if use_node_labels and p("node_labels").exists():
-        lab = _read_rows(p("node_labels")).astype(np.int64)
-        lab = lab - lab.min()
-        onehot = np.eye(int(lab.max()) + 1, dtype=np.float32)[lab[:, 0]]
-        feats.append(onehot)
     if use_node_attr and p("node_attributes").exists():
         feats.append(_read_rows(p("node_attributes")).astype(np.float32))
+    if use_node_labels and p("node_labels").exists():
+        lab = _read_rows(p("node_labels")).astype(np.int64)
+        feats.extend(_onehot_columns(lab))
     n_nodes = graph_of.shape[0]
     if feats:
         x_all = np.concatenate(feats, axis=1)
@@ -79,16 +90,15 @@ def parse_tu_dir(root, name, use_node_attr=True, use_node_labels=True):
         np.add.at(deg, edges[:, 0], 1.0)
         x_all = deg[:, None]
 
-    # edge features: concat(one-hot edge labels, edge attributes) — the
-    # reference's PyG TUDataset semantics (edge_labels one-hot encoded)
+    # edge features: concat(edge attributes, one-hot edge labels) — same
+    # PyG read_tu_data ordering as node features (attributes first, every
+    # label column one-hot encoded; ADVICE r3).
     e_feats = []
-    if p("edge_labels").exists():
-        elab = _read_rows(p("edge_labels")).astype(np.int64)
-        elab = elab - elab.min()
-        e_feats.append(
-            np.eye(int(elab.max()) + 1, dtype=np.float32)[elab[:, 0]])
     if p("edge_attributes").exists():
         e_feats.append(_read_rows(p("edge_attributes")).astype(np.float32))
+    if p("edge_labels").exists():
+        elab = _read_rows(p("edge_labels")).astype(np.int64)
+        e_feats.extend(_onehot_columns(elab))
     e_attr_all = np.concatenate(e_feats, axis=1) if e_feats else None
 
     # classes remapped to 0..C-1 (TU labels may be {-1,1} or {1..C})

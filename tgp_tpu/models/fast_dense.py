@@ -112,9 +112,15 @@ def dense_topk_pool(dense: DenseGraphBatch, score: jax.Array,
         P = (idx[:, :, None] == jnp.arange(N, dtype=idx.dtype)[None, None, :])
         P = jnp.where(slot_mask[:, :, None], P, False)
         Pa = P.astype(dense.adj.dtype)
+        # HIGHEST on the adjacency chain too: a one-hot selection must
+        # return adjacency VALUES exactly, and DEFAULT MXU precision
+        # truncates f32 operands to bf16 (~1e-3 rel drift vs the gather
+        # impl for weighted/normalized adjacencies — ADVICE r3).
         adj = jnp.einsum("bkn,bnm->bkm", Pa, dense.adj,
+                         precision=jax.lax.Precision.HIGHEST,
                          preferred_element_type=jnp.float32)
         adj = jnp.einsum("bkm,bjm->bkj", adj.astype(dense.adj.dtype), Pa,
+                         precision=jax.lax.Precision.HIGHEST,
                          preferred_element_type=jnp.float32
                          ).astype(dense.adj.dtype)
         # HIGHEST: on TPU, DEFAULT truncates f32 operands to bf16 — but a

@@ -155,8 +155,13 @@ def locality_spmm(plan: dict, x_new_order, *, interpret: bool = False):
                            plan["edge_weight"],
                            plan["row_ptr"].shape[0] - 1,
                            window=plan["window"], interpret=interpret)
-    from tgp_tpu.ops.pallas.segment_spmm import spmm_sorted
+    from tgp_tpu.ops.pallas.segment_spmm import segment_sum_sorted
 
-    return spmm_sorted(plan["senders"], plan["receivers"], plan["row_ptr"],
-                       plan["edge_weight"], x_new_order,
-                       plan["row_ptr"].shape[0] - 1, interpret=interpret)
+    # segment_sum_sorted pads the row count to the kernel's block grid
+    # internally and slices back, so arbitrary node counts (not a multiple
+    # of 128) are safe here (ADVICE r3: raw num_rows tripped the
+    # block-alignment assert in spmm_sorted).
+    num_rows = plan["row_ptr"].shape[0] - 1
+    msgs = x_new_order[plan["senders"]] * plan["edge_weight"][:, None]
+    return segment_sum_sorted(msgs, plan["receivers"], num_rows,
+                              interpret=interpret)

@@ -255,7 +255,8 @@ def sorted_segment_sum_grouped(msgs: jax.Array, rids, row_ptr: jax.Array,
                                interpret: bool = False) -> jax.Array:
     """Work-item-grid twin of :func:`sorted_segment_sum_pallas` (same
     contract: receiver-sorted ``msgs [E, F]``, CSR ``row_ptr [num_rows+1]``,
-    ``num_rows % block_rows == 0``).  Returns f32 ``[num_rows, F]``.
+    ``num_rows % block_rows == 0``).  Accumulates in f32 and returns
+    ``[num_rows, F]`` cast back to ``msgs.dtype`` (bf16 in → bf16 out).
 
     Block sizes default to :func:`_auto_blocks` (the round-3 on-chip sweep
     put (256, 2048) first at E=1M within a ~10% spread of (128, 1024) and

@@ -151,9 +151,20 @@ def spmm(senders, receivers, edge_weight, x, num_nodes: int, *,
             senders.shape[0], indices_are_sorted) else "xla")
     msgs = x[senders] * edge_weight[:, None]
     if method == "pallas":
+        # the sorted-CSR kernel assumes ascending receivers — on unsorted
+        # input it would return silently wrong sums (ADVICE r3)
+        if not indices_are_sorted:
+            raise ValueError(
+                "spmm(method='pallas') requires indices_are_sorted=True "
+                "(receiver-ascending edges; see sort_by_receiver)")
+        import jax.extend.backend as _backend
+
         from tgp_tpu.ops.pallas.segment_spmm import segment_sum_sorted
 
-        return segment_sum_sorted(msgs, receivers, num_nodes)
+        # interpret-mode keeps the forced path runnable off-TPU (tests)
+        interp = _backend.get_backend().platform == "cpu"
+        return segment_sum_sorted(msgs, receivers, num_nodes,
+                                  interpret=interp)
     return jax.ops.segment_sum(msgs, receivers, num_segments=num_nodes,
                                indices_are_sorted=indices_are_sorted)
 
