@@ -139,6 +139,9 @@ class DenseGraphBatch:
     def num_features(self) -> int:
         return self.x.shape[-1]
 
+    def with_features(self, x: jax.Array) -> "DenseGraphBatch":
+        return self.replace(x=x)
+
 
 # ---------------------------------------------------------------------------
 # Host-side collation (numpy; runs outside jit, in the data loader)

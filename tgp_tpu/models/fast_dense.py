@@ -33,114 +33,17 @@ from flax import linen as nn
 
 from tgp_tpu.graph import DenseGraphBatch
 from tgp_tpu.mp.gcn import GCNConv
+# canonical home is the pooler layer (TopkPooling's dense branch uses the
+# same machinery); re-exported here for back-compat
+from tgp_tpu.poolers.topk import (  # noqa: F401
+    dense_topk_apply,
+    dense_topk_pool,
+    gather_rows,
+)
 from tgp_tpu.reduce.global_reduce import global_reduce
 
-__all__ = ["dense_topk_pool", "DenseTopkClassifier", "gather_rows"]
-
-
-@jax.custom_vjp
-def gather_rows(x: jax.Array, idx: jax.Array) -> jax.Array:
-    """``out[b, j] = x[b, idx[b, j]]`` with a scatter-free backward.
-
-    The default VJP of ``take_along_axis`` is an XLA scatter-add over the
-    full ``[B, N, F]`` cotangent (~1.3 ms at the bench scale — as slow as
-    the sparse scatter this pipeline exists to avoid).  Top-k indices are
-    unique per row, so the backward is a *permutation*: build the inverse
-    position table (one small ``[B, N]`` int32 scatter) and GATHER the
-    cotangent through it.
-    """
-    return jnp.take_along_axis(x, idx[..., None], axis=1)
-
-
-def _gather_rows_fwd(x, idx):
-    return gather_rows(x, idx), (idx, x.shape)
-
-
-def _gather_rows_bwd(res, g):
-    idx, x_shape = res
-    B, N, F = x_shape
-    K = idx.shape[1]
-    inv = jnp.full((B, N), K, jnp.int32)
-    inv = inv.at[jnp.arange(B)[:, None], idx].set(
-        jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), (B, K)))
-    g_pad = jnp.concatenate([g, jnp.zeros((B, 1, F), g.dtype)], axis=1)
-    d_x = jnp.take_along_axis(g_pad, inv[..., None], axis=1)
-    return d_x, None
-
-
-gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
-
-
-def dense_topk_pool(dense: DenseGraphBatch, score: jax.Array,
-                    ratio: float = 0.5, multiplier: float = 1.0,
-                    impl: str = "auto") -> DenseGraphBatch:
-    """Dense top-k pooling: ``score [B, N]`` (already activated), keep the
-    per-graph top ``ceil(ratio·n_g)`` (≤ ``K = ceil(ratio·Nmax)`` static
-    slots), gate kept features by their score, and pool the adjacency.
-
-    ``impl``:
-      * ``"onehot"`` — build the masked selection one-hot ``P [B, K, N]``
-        and pool with MXU matmuls (``P·A·Pᵀ``, ``P·X``).  Measured 9×
-        faster than the gathers at the flagship shape (B=64, N=256,
-        K=128): the two adjacency ``take_along_axis`` cost ~126 µs vs
-        ~14 µs for the matmul chain (scripts/exp_r3_ops.py, TPU v5e) —
-        gathers run at memory latency, one-hot rides the MXU at >100 TF/s.
-      * ``"gather"`` — two ``take_along_axis`` on the adjacency + the
-        permutation-VJP :func:`gather_rows` on features.  Wins when the
-        ``B·K·N²`` one-hot FLOPs exceed the ``B·N²`` gather bytes — i.e.
-        for large K.
-      * ``"auto"`` — onehot for ``K ≤ 512`` (MXU flops/byte balance ≈
-        240 ≫ K at dense-path scales), gather beyond.
-    """
-    B, N, F = dense.x.shape
-    K = max(int(math.ceil(ratio * N)), 1)
-    neg = jnp.finfo(score.dtype).min
-    ranked = jnp.where(dense.mask, score, neg)
-    top_scores, idx = jax.lax.top_k(ranked, K)  # [B, K]
-
-    n_g = dense.mask.sum(-1)
-    k_g = jnp.maximum(jnp.ceil(ratio * n_g), 1).astype(jnp.int32)
-    slot_mask = jnp.arange(K)[None, :] < k_g[:, None]  # [B, K]
-    gate = jnp.where(slot_mask, top_scores, 0.0)
-
-    if impl == "auto":
-        impl = "onehot" if K <= 512 else "gather"
-
-    if impl == "onehot":
-        # masked selection one-hot: invalid slots are zero rows, so the
-        # pooled adjacency/features are masked by construction
-        P = (idx[:, :, None] == jnp.arange(N, dtype=idx.dtype)[None, None, :])
-        P = jnp.where(slot_mask[:, :, None], P, False)
-        Pa = P.astype(dense.adj.dtype)
-        # HIGHEST on the adjacency chain too: a one-hot selection must
-        # return adjacency VALUES exactly, and DEFAULT MXU precision
-        # truncates f32 operands to bf16 (~1e-3 rel drift vs the gather
-        # impl for weighted/normalized adjacencies — ADVICE r3).
-        adj = jnp.einsum("bkn,bnm->bkm", Pa, dense.adj,
-                         precision=jax.lax.Precision.HIGHEST,
-                         preferred_element_type=jnp.float32)
-        adj = jnp.einsum("bkm,bjm->bkj", adj.astype(dense.adj.dtype), Pa,
-                         precision=jax.lax.Precision.HIGHEST,
-                         preferred_element_type=jnp.float32
-                         ).astype(dense.adj.dtype)
-        # HIGHEST: on TPU, DEFAULT truncates f32 operands to bf16 — but a
-        # one-hot selection must return the feature VALUES exactly.  For
-        # bf16 features HIGHEST costs the same single MXU pass; for f32 it
-        # is the exact 3-pass emulation (measured ~3 µs extra at the
-        # flagship shape, scripts/exp_r3_ops2.py).
-        x_sel = jnp.einsum("bkn,bnf->bkf", P.astype(dense.x.dtype), dense.x,
-                           precision=jax.lax.Precision.HIGHEST)
-        x_pool = x_sel * (gate[:, :, None] * multiplier).astype(x_sel.dtype)
-        return DenseGraphBatch(x=x_pool, adj=adj, mask=slot_mask)
-
-    x_sel = gather_rows(dense.x, idx)
-    x_pool = x_sel * (gate[:, :, None] * multiplier).astype(x_sel.dtype)
-
-    adj = jnp.take_along_axis(dense.adj, idx[:, :, None], axis=1)
-    adj = jnp.take_along_axis(adj, idx[:, None, :], axis=2)
-    m = slot_mask.astype(adj.dtype)
-    adj = adj * m[:, :, None] * m[:, None, :]
-    return DenseGraphBatch(x=x_pool, adj=adj, mask=slot_mask)
+__all__ = ["dense_topk_pool", "dense_topk_apply", "DenseTopkClassifier",
+           "gather_rows"]
 
 
 class DenseTopkClassifier(nn.Module):

@@ -1,0 +1,76 @@
+"""Model-level regime dispatch: route a batch to the dense fast pipeline.
+
+The op-level regime map (:func:`tgp_tpu.ops.sparse.use_pallas_spmm`) picks
+the right SpMM kernel, but the bigger lever is *pipeline* choice: at the
+flagship workload (64 graphs × 256 nodes) the scatter-free dense pipeline
+runs ~90× faster than the sparse one (RESULTS.md round-2/3 — one XLA
+scatter SpMM ≈ 1.3 ms vs ~free dense bmm).  The reference gets this routing
+implicitly — users of a dense pooler land on the ``SᵀAS`` matmul path
+(tgp/src.py:310-557) — but its *sparse* poolers (topk & co.) stay on
+scatter kernels at every scale.  Here :func:`prepare_batch` makes the
+choice explicit and automatic, ONCE PER BATCH on the way into the step
+function (densifying inside the jitted step would re-pay the ``[B,N,N]``
+scatter every step).
+
+Usage (the documented quick-start path, examples/classification.py)::
+
+    batch = prepare_batch(from_graphs(graphs), normalize=True)
+    model = PoolingClassifier(pooler=get_pooler("topk", ...), ...,
+                              pre_normalized=True)
+    logits, out = model.apply(params, batch)   # dense fast path when small
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+import jax.numpy as jnp
+
+from tgp_tpu.graph import DenseGraphBatch, GraphBatch, to_dense
+from tgp_tpu.mp.gcn import gcn_norm_dense
+from tgp_tpu.ops.sparse import use_dense_pipeline
+
+__all__ = ["prepare_batch"]
+
+
+def prepare_batch(
+    batch: Union[GraphBatch, DenseGraphBatch],
+    *,
+    densify: Union[str, bool] = "auto",
+    normalize: bool = False,
+    adj_dtype=jnp.bfloat16,
+) -> Union[GraphBatch, DenseGraphBatch]:
+    """Densify a batch when the measured regime map says the dense pipeline
+    wins; otherwise return it unchanged.
+
+    Args:
+      batch: collated sparse :class:`GraphBatch` (or an already-dense
+        :class:`DenseGraphBatch`, passed through / normalized only).
+      densify: ``"auto"`` applies
+        :func:`~tgp_tpu.ops.sparse.use_dense_pipeline` on the static batch
+        metadata (``B``, ``Nmax``); ``True``/``False`` forces.
+      normalize: pre-apply the GCN normalization
+        (:func:`~tgp_tpu.mp.gcn.gcn_norm_dense`) once — pair with
+        ``pre_normalized=True`` on the model so its first MP layers skip
+        the two per-step ``[B,N,N]`` normalization passes.
+      adj_dtype: dtype for the *normalized* dense adjacency (only applied
+        with ``normalize=True``, where the values are smooth degree
+        fractions); ``jnp.bfloat16`` halves the dominant ``[B,N,N]`` HBM
+        term.  Pass ``None`` to keep f32.
+
+    Call this OUTSIDE the jitted train step (it is host-side batch
+    preparation, like collation).
+    """
+    if isinstance(batch, DenseGraphBatch):
+        dense = batch
+    else:
+        if densify == "auto":
+            go = use_dense_pipeline(batch.num_graphs, batch.max_nodes)
+        else:
+            go = bool(densify)
+        if not go:
+            return batch
+        dense = to_dense(batch)
+    if normalize:
+        dense = gcn_norm_dense(dense, adj_dtype=adj_dtype)
+    return dense

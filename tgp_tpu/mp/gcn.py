@@ -21,7 +21,28 @@ from tgp_tpu.ops.sparse import (
     spmm,
 )
 
-__all__ = ["GCNConv", "GraphConv", "gcn_norm"]
+__all__ = ["GCNConv", "GraphConv", "gcn_norm", "gcn_norm_dense"]
+
+
+def gcn_norm_dense(dense: DenseGraphBatch, *, add_self_loops: bool = True,
+                   adj_dtype=None) -> DenseGraphBatch:
+    """GCN-normalize a dense adjacency ONCE, outside the train step:
+    ``D^{-1/2}(A+I)D^{-1/2}`` on valid nodes.  A static input adjacency is
+    constant across steps, so pre-normalizing (and optionally down-casting
+    to ``adj_dtype=jnp.bfloat16``, halving the dominant ``[B,N,N]`` HBM
+    traffic) saves two full ``[B,N,N]`` passes per GCN layer per step —
+    pair with ``GCNConv(normalize=False)`` / ``pre_normalized=True`` model
+    flags."""
+    adj = dense.adj
+    if add_self_loops:
+        eye = jnp.eye(adj.shape[-1], dtype=adj.dtype)
+        m = dense.mask.astype(adj.dtype)
+        adj = adj + eye * m[:, :, None]
+    dinv = jax.lax.rsqrt(jnp.clip(adj.sum(-1), 1e-12, None))
+    adj = dinv[..., :, None] * adj * dinv[..., None, :]
+    if adj_dtype is not None:
+        adj = adj.astype(adj_dtype)
+    return dense.replace(adj=adj)
 
 
 def gcn_norm(batch: GraphBatch, add_self_loops: bool = True):

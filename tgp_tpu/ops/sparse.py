@@ -132,6 +132,28 @@ def use_pallas_spmm(num_edges: int, edges_sorted: bool) -> bool:
             and _backend.get_backend().platform not in ("cpu",))
 
 
+#: model-level crossover (RESULTS.md round-2/3): at B=64·N=256 the dense
+#: scatter-free pipeline runs ~90× faster than the sparse one (one XLA
+#: scatter SpMM ≈ 1.3 ms vs ~free dense bmm); the B·N² terms overtake the
+#: sparse path around Nmax ≈ 2k (models/fast_dense.py docstring).
+DENSE_PIPELINE_MAX_NODES = 2048
+#: cap on the densified adjacency's size — past this the [B,N,N] tensor
+#: alone threatens the HBM budget and the sparse path wins on memory
+DENSE_PIPELINE_MAX_ADJ_BYTES = 2 << 30
+
+
+def use_dense_pipeline(num_graphs: int, max_nodes: int,
+                       itemsize: int = 4) -> bool:
+    """Model-level regime map (VERDICT r3 #2b): route a batch of small
+    graphs through the dense scatter-free pipeline iff the per-graph width
+    is under the measured crossover and the ``[B, Nmax, Nmax]`` adjacency
+    fits the byte budget.  All inputs are static batch metadata, so this is
+    decidable at trace time (or on the host, once per batch)."""
+    return (max_nodes <= DENSE_PIPELINE_MAX_NODES
+            and num_graphs * max_nodes * max_nodes * itemsize
+            <= DENSE_PIPELINE_MAX_ADJ_BYTES)
+
+
 def spmm(senders, receivers, edge_weight, x, num_nodes: int, *,
          indices_are_sorted: bool = False, method: str = "auto"):
     """Sparse matmul ``(A X)[r] = Σ_{e: recv[e]=r} w_e · x[send_e]``.

@@ -32,6 +32,10 @@ class SAGPooling(SRCPooling):
     #: scoring GNN (reference SAGPooling's ``GNN=`` argument, sag.py:17-228):
     #: 'graph_conv' (reference default) | 'gcn' | 'le'
     gnn_kind: str = "graph_conv"
+    #: arbitrary user scoring module (the reference accepts any GNN class,
+    #: sag.py:108-143; here any flax module mapping ``(batch, x)`` to a
+    #: per-node score ``[N]`` or ``[N, 1]``).  Overrides ``gnn_kind``.
+    score_gnn: Optional[nn.Module] = None
     s_inv_op: str = "transpose"
     connect_red_op: str = "sum"
     remove_self_loops: bool = True
@@ -41,7 +45,9 @@ class SAGPooling(SRCPooling):
     IS_TRAINABLE = True
 
     def setup(self):
-        if self.gnn_kind == "graph_conv":
+        if self.score_gnn is not None:
+            self.gnn = self.score_gnn
+        elif self.gnn_kind == "graph_conv":
             self.gnn = GraphConv(1)
         elif self.gnn_kind == "gcn":
             from tgp_tpu.mp.gcn import GCNConv
@@ -61,7 +67,10 @@ class SAGPooling(SRCPooling):
         if lifting:
             return self.lift(x if x is not None else batch.x, so)
         if so is None:
-            if self.gnn_kind == "le":
+            if self.score_gnn is not None:
+                score = self.gnn(batch, attn)
+                score = score[:, 0] if score.ndim > 1 else score
+            elif self.gnn_kind == "le":
                 score = self.gnn(
                     attn if attn is not None else batch.x, batch.senders,
                     batch.receivers, batch.edge_weight, batch.num_nodes,

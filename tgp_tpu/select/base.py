@@ -52,6 +52,12 @@ class SelectOutput:
     node_mask: Optional[jax.Array] = None  # [N]
     cluster_graph: Optional[jax.Array] = None  # [C] (sparse layout)
     cluster_pos: Optional[jax.Array] = None  # [C] position within graph
+    #: explicit supernode-validity override (``[B,K]`` dense / ``[C]``
+    #: sparse).  Needed when validity cannot be derived from ``s`` — e.g.
+    #: the dense top-k layout stores *signed* score gates in ``s``, so the
+    #: default ``s.sum(-2) > 0`` test would misreport negatively-scored
+    #: (but selected) supernodes as invalid.
+    cluster_mask: Optional[jax.Array] = None
 
     # --- extra per-method arrays (NDP's L, MaxCut scores, BNPool q_z, ...) ---
     extras: Dict[str, Any] = struct.field(default_factory=dict)
@@ -95,6 +101,8 @@ class SelectOutput:
         batched dense → ``[B,K]``; unbatched dense → ``[B,K]`` via
         ``node_graph`` segments.
         """
+        if self.cluster_mask is not None:
+            return self.cluster_mask
         if self.is_sparse:
             m = self.node_sel_mask
             if m is None:

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tgp_tpu.graph import GraphBatch
+from tgp_tpu.graph import DenseGraphBatch, GraphBatch
 from tgp_tpu.ops.segment import segment_softmax, segment_topk_rank
 from tgp_tpu.select.base import SelectOutput
 from tgp_tpu.utils.activations import resolve_activation
@@ -97,6 +97,86 @@ def topk_select_from_scores(
     )
 
 
+def dense_topk_indices(
+    score: jax.Array,
+    mask: jax.Array,
+    ratio: Union[int, float],
+    min_score: Optional[float] = None,
+):
+    """Dense-world top-k ranking: per-graph ``jax.lax.top_k`` over the
+    padded score matrix (the scatter-free twin of
+    :func:`topk_select_from_scores`; reference semantics:
+    tgp/select/topk_select.py:169-207 and PyG ``topk``).
+
+    Args:
+      score: ``[B, N]`` activated scores (already per-graph-softmaxed when
+        ``min_score`` is used).
+      mask: ``[B, N]`` node validity.
+      ratio: fraction (or absolute int count) of nodes kept per graph.
+      min_score: PyG threshold semantics — keep nodes with
+        ``score > min(max_g − 1e-7, min_score)`` (so at least the top node
+        of each graph survives); the slot budget becomes ``N``.
+
+    Returns:
+      ``(idx [B,K], slot_mask [B,K], gate [B,K])`` — kept-node indices
+      (score-descending), slot validity, and the score gate (0 on invalid
+      slots).  ``top_k`` is descending, so valid slots are a prefix.
+    """
+    B, N = score.shape
+    neg = jnp.finfo(score.dtype).min
+    ranked = jnp.where(mask, score, neg)
+    K = N if min_score is not None else topk_budget(ratio, N)
+    top_scores, idx = jax.lax.top_k(ranked, K)
+
+    if min_score is not None:
+        smax = top_scores[:, :1]
+        thr = jnp.minimum(smax - 1e-7, min_score)
+        slot_mask = top_scores > thr
+    else:
+        n_g = mask.sum(-1)
+        if isinstance(ratio, int) and ratio >= 1:
+            k_g = jnp.minimum(n_g, ratio).astype(jnp.int32)
+        else:
+            k_g = jnp.maximum(jnp.ceil(ratio * n_g), 1).astype(jnp.int32)
+        slot_mask = jnp.arange(K)[None, :] < k_g[:, None]
+    slot_mask = slot_mask & (top_scores > neg)  # empty graphs stay empty
+    gate = jnp.where(slot_mask, top_scores, 0.0)
+    return idx, slot_mask, gate
+
+
+def dense_topk_select_output(
+    score: jax.Array,
+    mask: jax.Array,
+    ratio: Union[int, float],
+    min_score: Optional[float] = None,
+    s_inv_op: str = "transpose",
+) -> SelectOutput:
+    """Build the dense-layout :class:`SelectOutput` for a top-k selection:
+    ``s[b, n, k] = gate[b, k] · 1[idx[b, k] = n]`` — the gated selection
+    one-hot (the reference's ``S = diag(score)`` restricted to kept columns,
+    tgp/select/topk_select.py:199-207), so the generic dense reduce/lift
+    paths work unchanged.  The raw ``idx/slot_mask/gate`` ride along in
+    ``extras`` for the scatter-free fast pooling path
+    (:func:`tgp_tpu.poolers.topk.dense_topk_apply`); XLA dead-code-eliminates
+    ``s`` when only the fast path consumes the output."""
+    B, N = score.shape
+    idx, slot_mask, gate = dense_topk_indices(score, mask, ratio, min_score)
+    K = idx.shape[1]
+    P = idx[:, :, None] == jnp.arange(N, dtype=idx.dtype)[None, None, :]
+    s = jnp.swapaxes(P.astype(score.dtype) * gate[:, :, None], -1, -2)
+    return SelectOutput(
+        s=s,
+        in_mask=mask,
+        cluster_mask=slot_mask,
+        extras={"idx": idx, "slot_mask": slot_mask, "gate": gate},
+        num_clusters=B * K,
+        num_graphs=B,
+        max_clusters=K,
+        partial=True,
+        s_inv_op=s_inv_op,
+    )
+
+
 class TopkSelect(nn.Module):
     """Learnable-projection top-k selector.
 
@@ -112,10 +192,12 @@ class TopkSelect(nn.Module):
     s_inv_op: str = "transpose"
 
     @nn.compact
-    def __call__(self, batch: GraphBatch) -> SelectOutput:
+    def __call__(self, batch: Union[GraphBatch, DenseGraphBatch]
+                 ) -> SelectOutput:
+        dense = isinstance(batch, DenseGraphBatch)
         x = batch.x
         if self.in_channels is None or self.in_channels <= 1:
-            score = x[:, 0] if x.ndim > 1 else x
+            score = x[..., 0] if x.ndim > (2 if dense else 1) else x
         else:
             bound = 1.0 / math.sqrt(self.in_channels)
             # uniform(-bound, bound), matching PyG's ``uniform`` init
@@ -126,9 +208,22 @@ class TopkSelect(nn.Module):
                 ),
                 (self.in_channels,),
             )
-            score = x @ w
+            score = x.astype(w.dtype) @ w
             if self.min_score is None:
                 score = score / jnp.maximum(jnp.linalg.norm(w), 1e-12)
+
+        if dense:
+            # dense-world twin: [B, N] scores, row-wise masked softmax for
+            # the min_score path, jax.lax.top_k ranking
+            if self.min_score is None:
+                score = resolve_activation(self.act)(score)
+            else:
+                neg = jnp.finfo(score.dtype).min
+                score = jax.nn.softmax(
+                    jnp.where(batch.mask, score, neg), axis=-1)
+            return dense_topk_select_output(
+                score, batch.mask, self.ratio, self.min_score, self.s_inv_op
+            )
 
         if self.min_score is None:
             score = resolve_activation(self.act)(score)
