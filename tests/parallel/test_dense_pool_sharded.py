@@ -1,0 +1,151 @@
+"""Sharded dense-pooler family (VERDICT r3 #4): N-sharded SᵀX / SᵀAS for
+mincut/diff must match the pooler's own single-device unbatched forward
+(same params) on the virtual 8-device mesh — the sharded twin of the
+reference's batched-vs-unbatched equality oracle
+(tests/poolers/test_dense_poolers_batched_vs_unbatched.py)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tgp_tpu.graph import from_graphs
+from tgp_tpu.parallel.dense_pool import (
+    device_put_sharded_dense,
+    make_sharded_dense_pool_step,
+    prepare_sharded_dense_graph,
+    supported_sharded_poolers,
+)
+from tgp_tpu.parallel.train import make_mesh
+from tgp_tpu.poolers import get_pooler
+
+N_DEV = 8
+
+
+def _random_graph(n, e, seed=0):
+    rng = np.random.default_rng(seed)
+    s = rng.integers(0, n, e).astype(np.int64)
+    r = rng.integers(0, n, e).astype(np.int64)
+    keep = s != r
+    s, r = (np.concatenate([s[keep], r[keep]]),
+            np.concatenate([r[keep], s[keep]]))
+    w = rng.uniform(0.5, 1.5, len(s)).astype(np.float32)
+    x = rng.normal(size=(n, 6)).astype(np.float32)
+    return x, s, r, w
+
+
+def _single_device_reference(pooler, n, x, s, r, w, n_pad):
+    """Unbatched pooler forward on the zero-padded flat graph."""
+    x_pad = np.zeros((n_pad, x.shape[1]), np.float32)
+    x_pad[:n] = x
+    batch = from_graphs([(x_pad[:n], np.stack([s, r]), w)],
+                        pad_nodes=n_pad, pad_edges=len(s))
+    params = pooler.init(jax.random.key(3), batch)
+    out = pooler.apply(params, batch)
+    return params, out
+
+
+@pytest.mark.parametrize("alias", ["mincut", "diff"])
+def test_sharded_matches_unbatched(alias):
+    if len(jax.devices()) < N_DEV:
+        pytest.skip("needs 8 virtual devices")
+    n, e = 48, 160
+    x, s, r, w = _random_graph(n, e, seed=11)
+    pooler = get_pooler(alias, in_channels=6, k=4, batched=False)
+
+    (x_pad, mask, S, R, W, n_pad,
+     rows_per) = prepare_sharded_dense_graph(x, s, r, w, n, N_DEV)
+    params, ref = _single_device_reference(pooler, n, x, s, r, w, n_pad)
+
+    mesh = make_mesh(N_DEV, axis="n")
+    step = make_sharded_dense_pool_step(pooler, mesh, rows_per, axis="n")
+    with mesh:
+        args = device_put_sharded_dense(mesh, x_pad, mask, S, R, W, axis="n")
+        x_pool, adj_pool, losses = step(params, *args)
+
+    np.testing.assert_allclose(np.asarray(x_pool),
+                               np.asarray(ref.dense.x[0]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(adj_pool),
+                               np.asarray(ref.dense.adj[0]),
+                               rtol=1e-4, atol=1e-5)
+    assert set(losses) == set(ref.loss)
+    for name in losses:
+        np.testing.assert_allclose(float(losses[name]),
+                                   float(ref.loss[name]),
+                                   rtol=1e-4, atol=1e-6,
+                                   err_msg=name)
+
+
+def test_sharded_diff_normalized_loss():
+    if len(jax.devices()) < N_DEV:
+        pytest.skip("needs 8 virtual devices")
+    n, e = 40, 120
+    x, s, r, w = _random_graph(n, e, seed=5)
+    pooler = get_pooler("diff", in_channels=6, k=3, batched=False,
+                        normalize_loss=True)
+    (x_pad, mask, S, R, W, n_pad,
+     rows_per) = prepare_sharded_dense_graph(x, s, r, w, n, N_DEV)
+    params, ref = _single_device_reference(pooler, n, x, s, r, w, n_pad)
+    mesh = make_mesh(N_DEV, axis="n")
+    step = make_sharded_dense_pool_step(pooler, mesh, rows_per, axis="n")
+    with mesh:
+        args = device_put_sharded_dense(mesh, x_pad, mask, S, R, W, axis="n")
+        _, _, losses = step(params, *args)
+    np.testing.assert_allclose(float(losses["link_loss"]),
+                               float(ref.loss["link_loss"]),
+                               rtol=1e-4, atol=1e-8)
+
+
+def test_sharded_gradients_match_unbatched():
+    """End-to-end: d(total loss)/d(selector params) must equal the
+    single-device gradient — the real training contract."""
+    if len(jax.devices()) < N_DEV:
+        pytest.skip("needs 8 virtual devices")
+    n, e = 32, 96
+    x, s, r, w = _random_graph(n, e, seed=7)
+    pooler = get_pooler("mincut", in_channels=6, k=4, batched=False)
+    (x_pad, mask, S, R, W, n_pad,
+     rows_per) = prepare_sharded_dense_graph(x, s, r, w, n, N_DEV)
+    x_pad_np = np.zeros((n_pad, 6), np.float32)
+    x_pad_np[:n] = x
+    batch = from_graphs([(x, np.stack([s, r]), w)],
+                        pad_nodes=n_pad, pad_edges=len(s))
+    params = pooler.init(jax.random.key(3), batch)
+
+    def ref_loss(p):
+        out = pooler.apply(p, batch)
+        return out.loss["cut_loss"] + out.loss["ortho_loss"]
+
+    g_ref = jax.grad(ref_loss)(params)
+
+    mesh = make_mesh(N_DEV, axis="n")
+    step = make_sharded_dense_pool_step(pooler, mesh, rows_per, axis="n")
+
+    with mesh:
+        args = device_put_sharded_dense(mesh, x_pad, mask, S, R, W, axis="n")
+
+        def sh_loss(p):
+            _, _, losses = step(p, *args)
+            return losses["cut_loss"] + losses["ortho_loss"]
+
+        g_sh = jax.grad(sh_loss)(params)
+
+    for (ka, va), (kb, vb) in zip(
+            jax.tree_util.tree_leaves_with_path(g_ref),
+            jax.tree_util.tree_leaves_with_path(g_sh)):
+        np.testing.assert_allclose(np.asarray(vb), np.asarray(va),
+                                   rtol=2e-4, atol=1e-6, err_msg=str(ka))
+
+
+def test_supported_list_and_rejection():
+    assert set(supported_sharded_poolers()) == {"mincut", "diff"}
+    pooler = get_pooler("dmon", in_channels=6, k=4, batched=False)
+    mesh = make_mesh(1, axis="n")
+    with pytest.raises(NotImplementedError):
+        make_sharded_dense_pool_step(pooler, mesh, rows_per=8, axis="n")
+    batched = get_pooler("mincut", in_channels=6, k=4)
+    with pytest.raises(AssertionError):
+        make_sharded_dense_pool_step(batched, mesh, rows_per=8, axis="n")
