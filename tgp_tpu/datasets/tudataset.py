@@ -29,9 +29,15 @@ __all__ = ["TUDataset", "parse_tu_dir"]
 
 
 def _read_rows(path: Path) -> np.ndarray:
-    """Parse a comma/whitespace-separated numeric text file to [rows, cols]."""
+    """Parse a comma/whitespace-separated numeric text file to [rows, cols].
+
+    Reads ``.txt.gz`` transparently (the committed PROTEINS_SYN/NCI1_SYN
+    twin fixtures ship gzipped to keep the repo small)."""
+    import gzip
+
+    opener = gzip.open if path.name.endswith(".gz") else open
     rows = []
-    with open(path) as f:
+    with opener(path, "rt") as f:
         for line in f:
             line = line.strip()
             if line:
@@ -59,7 +65,9 @@ def parse_tu_dir(root, name, use_node_attr=True, use_node_labels=True):
     pre = d / name
 
     def p(suffix):
-        return Path(f"{pre}_{suffix}.txt")
+        plain = Path(f"{pre}_{suffix}.txt")
+        gz = Path(f"{pre}_{suffix}.txt.gz")
+        return plain if plain.exists() or not gz.exists() else gz
 
     if not p("A").exists():
         raise FileNotFoundError(
