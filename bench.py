@@ -13,9 +13,26 @@ available accelerator / torch edges/s on CPU.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+
+def _setup_compile_cache():
+    """Persistent XLA compilation cache (repo-local, gitignored).
+
+    The sparse-pipeline leg's remote compile through the axon tunnel can
+    take minutes; with the cache warm (populated by any prior bench/test
+    run on this machine) it is seconds, so the timeout-guarded subprocess
+    lands its number inside the driver's window (VERDICT r3 weak #2)."""
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".cache", "jax")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 # --- workload ------------------------------------------------------------
 B = 64           # graphs per batch
@@ -24,6 +41,15 @@ P_EDGE = 0.03    # ER density
 F = 128          # feature width
 HIDDEN = 128
 STEPS = 100      # long enough that device time per call dwarfs tunnel RTT
+
+#: nominal single-chip ceilings used for the utilization fields (TPU v5e:
+#: 197 TF/s bf16 MXU, 819 GB/s HBM).  Measured practical envelopes are in
+#: RESULTS.md (47 TF/s for this step's bmm chain shape, 273 GB/s for random
+#: 256 B rows) — the nominal peaks keep the ratio comparable round-to-round.
+PEAK_TF_S = 197.0
+PEAK_HBM_GB_S = 819.0
+
+_LAST_COST = None  # set by _timed_scan from the compiled program
 
 
 def make_graphs(seed=0):
@@ -116,6 +142,24 @@ def _timed_scan(make_one_step, carry, data, y):
 
     run_s = jax.jit(functools.partial(run, STEPS))
     p, o = carry
+    # per-step FLOPs / HBM bytes from the compiled program, for the
+    # utilization fields (VERDICT r3 #7).  XLA's cost analysis counts a
+    # lax.scan BODY ONCE regardless of length (verified on this backend:
+    # scan(matmul, length=10) reports 2.149 GF ≈ 1 matmul), so the scan
+    # program's totals ARE per-step numbers.  Best-effort: not every
+    # backend implements cost_analysis.
+    global _LAST_COST
+    _LAST_COST = None
+    try:
+        ca = run_s.lower(p, o, data, y).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        _LAST_COST = {
+            "flops_per_step": float(ca.get("flops", 0.0)),
+            "hbm_bytes_per_step": float(ca.get("bytes accessed", 0.0)),
+        }
+    except Exception:
+        pass
     # CRITICAL (round-2 finding, scripts/exp_bench_timing.py): on the axon
     # backend ``jax.block_until_ready`` is NOT an execution barrier — 100
     # train steps "complete" in <10 ms under it.  The only real sync is a
@@ -143,6 +187,51 @@ def _timed_scan(make_one_step, carry, data, y):
     if diff <= 0:  # tunnel jitter ate the signal — fall back to the
         return t_many / (reps * STEPS)  # all-inclusive upper bound
     return diff / ((reps - 1) * STEPS)
+
+
+def bench_jax_default(graphs, labels):
+    """The DOCUMENTED quick-start path (examples/classification.py): generic
+    ``PoolingClassifier`` + ``get_pooler("topk")`` + ``prepare_batch`` —
+    the model-level regime map densifies this workload automatically, so the
+    default path should land within ~10% of the hand-picked
+    ``DenseTopkClassifier`` above (VERDICT r3 #2b)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tgp_tpu.graph import from_graphs
+    from tgp_tpu.models.classifiers import PoolingClassifier
+    from tgp_tpu.models.prepare import prepare_batch
+    from tgp_tpu.poolers import get_pooler
+
+    batch = from_graphs(graphs)
+    n_edges = int(np.asarray(batch.edge_mask).sum())
+    dense = prepare_batch(batch, normalize=True)  # auto regime dispatch
+    y = jnp.asarray(labels)
+
+    pooler = get_pooler("topk", in_channels=HIDDEN, ratio=0.5)
+    model = PoolingClassifier(pooler=pooler, num_classes=3, hidden=HIDDEN,
+                              pre_normalized=True)
+    params = model.init(jax.random.key(0), dense)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    def make_step(dense, y):
+        def one_step(carry, _):
+            p, o = carry
+
+            def loss_fn(p):
+                logits, out = model.apply(p, dense)
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    logits, y).mean() + out.loss_sum()
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, o = tx.update(grads, o)
+            return (optax.apply_updates(p, updates), o), loss
+        return one_step
+
+    dt = _timed_scan(make_step, (params, opt_state), dense, y)
+    return n_edges / dt, dt
 
 
 def bench_jax_sparse(graphs, labels):
@@ -288,12 +377,21 @@ def _sparse_subprocess(timeout_s: int = 420):
 def main():
     import sys
 
+    _setup_compile_cache()
     graphs, labels = make_graphs()
     if "--sparse-only" in sys.argv:
         sparse, _ = bench_jax_sparse(graphs, labels)
         print(round(sparse, 1))
         return
     ours, dt_ours = bench_jax(graphs, labels)
+    cost = _LAST_COST
+    # the DOCUMENTED default path (PoolingClassifier + prepare_batch):
+    # model-level regime dispatch should put it within ~10% of the
+    # hand-picked dense model above
+    try:
+        default_path, _ = bench_jax_default(graphs, labels)
+    except Exception:
+        default_path = None
     # the general sparse pipeline (auto-dispatched kernels), same workload
     # — the regime map's other leg (VERDICT r2 #3); timeout-guarded
     sparse = _sparse_subprocess()
@@ -306,8 +404,22 @@ def main():
         "value": round(ours, 1),
         "unit": "edges/s",
         "vs_baseline": round(ours / base, 3) if base else None,
+        "default_path": round(default_path, 1) if default_path else None,
         "sparse_pipeline": sparse,
     }
+    if cost:
+        tf_s = cost["flops_per_step"] / dt_ours / 1e12
+        gb_s = cost["hbm_bytes_per_step"] / dt_ours / 1e9
+        rec.update({
+            "tf_s_effective": round(tf_s, 2),
+            "mxu_util_pct": round(100 * tf_s / PEAK_TF_S, 2),
+            # cost-analysis "bytes accessed" counts every buffer touch,
+            # including VMEM-resident reuse, so this can EXCEED the HBM
+            # peak — it is an upper bound on HBM traffic, reported as-is
+            # (the honest lower-bound utilization is mem/.peak capped)
+            "mem_gb_s_effective": round(gb_s, 1),
+            "hbm_util_pct_upper": round(100 * gb_s / PEAK_HBM_GB_S, 2),
+        })
     print(json.dumps(rec))
 
 

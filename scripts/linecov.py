@@ -89,27 +89,37 @@ def executable_lines(path: Path) -> set[int]:
 def branch_sites(path: Path) -> int:
     """Number of conditional-branch instructions in the file (each has two
     possible destinations)."""
+    return len(branch_site_lines(path))
+
+
+def branch_site_lines(path: Path) -> list:
+    """[(qualname, offset, line)] for every conditional-branch instruction."""
     try:
         code = compile(path.read_text(), str(path), "exec")
     except SyntaxError:
-        return 0
-    n = 0
+        return []
+    out = []
     stack = [code]
     while stack:
         c = stack.pop()
         for const in c.co_consts:
             if hasattr(const, "co_code"):
                 stack.append(const)
+        line = None
         for ins in dis.get_instructions(c):
+            if ins.starts_line is not None:
+                line = ins.starts_line
             if ins.opname in _BRANCH_OPS:
-                n += 1
-    return n
+                out.append((c.co_qualname, ins.offset, line))
+    return out
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fail-under", type=float, default=0.0)
     ap.add_argument("--branch-fail-under", type=float, default=0.0)
+    ap.add_argument("--missing", action="store_true",
+                    help="list unhit/half-hit branch sites per file")
     ap.add_argument("pytest_args", nargs="*")
     args = ap.parse_args()
 
@@ -159,6 +169,19 @@ def main():
         flag = "" if pct >= 90 else "  << "
         print(f"{name:58s} {ex:6d} {got:6d} {pct:6.1f} "
               f"{nbr:6d} {bhit:6d} {bpct:6.1f}{flag}")
+    if args.missing:
+        print("\nmissing branch outcomes (0/2 or 1/2 hit):")
+        for path in sorted(PKG.rglob("*.py")):
+            seen = branch_hits.get(str(path), {})
+            miss = []
+            for qual, off, line in branch_site_lines(path):
+                n = len(seen.get((qual, off), ()))
+                if n < 2:
+                    miss.append(f"{line}({n}/2)")
+            if miss:
+                rel = path.relative_to(ROOT)
+                print(f"  {rel}: {' '.join(miss)}")
+
     pct_total = 100.0 * total_hit / max(total_exec, 1)
     bpct_total = 100.0 * total_br_hit / max(total_br, 1)
     print(f"{'TOTAL':58s} {total_exec:6d} {total_hit:6d} {pct_total:6.1f} "

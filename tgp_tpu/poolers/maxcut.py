@@ -33,6 +33,8 @@ class MaxCutPooling(SRCPooling):
     mp_act: str = "tanh"
     mlp_units: Sequence[int] = (16, 16)
     mlp_act: str = "relu"
+    #: final score activation (reference maxcut.py:111 ``act="tanh"``)
+    act: str = "tanh"
     delta: float = 2.0
     s_inv_op: str = "transpose"
     connect_red_op: str = "sum"
@@ -53,7 +55,7 @@ class MaxCutPooling(SRCPooling):
             do_assign_all_nodes=self.assign_all_nodes, max_iter=self.max_iter,
             mp_units=self.mp_units, mp_act=self.mp_act,
             mlp_units=self.mlp_units, mlp_act=self.mlp_act,
-            delta=self.delta, s_inv_op=self.s_inv_op,
+            act=self.act, delta=self.delta, s_inv_op=self.s_inv_op,
             mp_impl=self.mp_impl,
         )
 
