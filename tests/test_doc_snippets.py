@@ -158,3 +158,19 @@ def test_performance_doc_regime_map_constants():
     from tgp_tpu.ops.sparse import PALLAS_MIN_EDGES
 
     assert PALLAS_MIN_EDGES == 1 << 18
+
+
+def test_math_doc_covers_every_pooler_and_loss():
+    """docs/math.md documents every registered pooler alias and every loss
+    export (sync guard for the per-operator math reference)."""
+    import pathlib
+    import tgp_tpu.losses as losses
+    from tgp_tpu.poolers import pooler_map
+
+    text = pathlib.Path(__file__).resolve().parents[1].joinpath(
+        "docs", "math.md").read_text()
+    missing_poolers = [a for a in pooler_map() if f"`{a}`" not in text]
+    assert not missing_poolers, missing_poolers
+    missing_losses = [n for n in losses.__all__ if n.split("sparse_")[-1]
+                      .split("unbatched_")[-1] not in text]
+    assert not missing_losses, missing_losses
