@@ -165,3 +165,61 @@ def test_weighted_bce_balance_flags():
     b = float(L.weighted_bce_reconstruction_loss(rec, adj,
                                                  balance_links=False))
     assert np.isfinite(a) and np.isfinite(b) and a != b
+
+
+# -------------------------------------------- [E,1] column edge weights
+# Reference contract: every edge_weight entry point accepts [E] and [E,1]
+# (tgp/utils/ops.py:1043-1058 check_and_filter_edge_weights); other shapes
+# raise.  Exercised across the sparse twins and spmm.
+class TestColumnEdgeWeights:
+    def _coo(self, seed=0, N=8, E=12, K=3):
+        rng = np.random.default_rng(seed)
+        s = jnp.asarray(rng.integers(0, N, E), jnp.int32)
+        r = jnp.asarray(rng.integers(0, N, E), jnp.int32)
+        w = jnp.asarray(rng.uniform(0.5, 1.5, E), jnp.float32)
+        S = jnp.asarray(rng.dirichlet(np.ones(K), N), jnp.float32)
+        ng = jnp.zeros(N, jnp.int32)
+        return s, r, w, S, ng
+
+    @pytest.mark.parametrize("name,order", [
+        ("sparse_mincut_loss", "wS"),
+        ("sparse_ho_mincut_loss", "wS"),
+        ("sparse_totvar_loss", "wS"),
+        ("sparse_spectral_loss", "wS"),
+        ("sparse_link_pred_loss", "Sw"),
+    ])
+    def test_col_weight_equals_flat(self, name, order):
+        s, r, w, S, ng = self._coo()
+        fn = getattr(L, name)
+        if order == "wS":
+            flat = fn(s, r, w, S, ng, 1)
+            col = fn(s, r, w[:, None], S, ng, 1)
+        else:
+            flat = fn(S, s, r, w, ng, 1)
+            col = fn(S, s, r, w[:, None], ng, 1)
+        np.testing.assert_allclose(np.asarray(flat), np.asarray(col),
+                                   rtol=1e-6)
+
+    def test_maxcut_col_weight(self):
+        s, r, w, S, ng = self._coo()
+        scores = jnp.tanh(S[:, 0] - 0.5)
+        flat = L.maxcut_loss(scores, s, r, w, ng, 1)
+        col = L.maxcut_loss(scores, s, r, w[:, None], ng, 1)
+        np.testing.assert_allclose(np.asarray(flat), np.asarray(col),
+                                   rtol=1e-6)
+
+    def test_spmm_col_weight(self):
+        from tgp_tpu.ops.sparse import spmm
+        s, r, w, S, _ = self._coo()
+        flat = spmm(s, r, w, S, 8)
+        col = spmm(s, r, w[:, None], S, 8)
+        np.testing.assert_allclose(np.asarray(flat), np.asarray(col))
+
+    def test_bad_shape_raises(self):
+        from tgp_tpu.ops.sparse import check_and_filter_edge_weights
+        with pytest.raises(ValueError, match=r"\[E\] or \[E, 1\]"):
+            check_and_filter_edge_weights(jnp.ones((5, 2)))
+        assert check_and_filter_edge_weights(None) is None
+        w = jnp.ones(5)
+        assert check_and_filter_edge_weights(w).shape == (5,)
+        assert check_and_filter_edge_weights(w[:, None]).shape == (5,)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from tgp_tpu import eps
 from tgp_tpu.ops.segment import segment_sum
-from tgp_tpu.ops.sparse import rank3_trace, spmm
+from tgp_tpu.ops.sparse import check_and_filter_edge_weights, rank3_trace, spmm
 
 __all__ = [
     "mincut_loss",
@@ -94,6 +94,7 @@ def sparse_mincut_loss(senders, receivers, edge_weight, S, node_graph, num_graph
                        node_mask=None, batch_reduction="mean"):
     """Sparse twin of :func:`mincut_loss`: edge-wise ``w·⟨S_i,S_j⟩`` numerator,
     degree-weighted ``‖S_i‖²`` denominator (reference: losses.py:126-215)."""
+    edge_weight = check_and_filter_edge_weights(edge_weight)
     N = S.shape[0]
     degrees = segment_sum(edge_weight, senders, N)
     den_per_node = degrees * jnp.sum(S * S, axis=-1)
@@ -216,6 +217,7 @@ def sparse_link_pred_loss(S, senders, receivers, edge_weight, node_graph, num_gr
     """Sparse twin via ‖A−SSᵀ‖²_F = Σ_e (w_e−ss_e)² + Σ_g ‖S_gᵀS_g‖²_F − Σ_e ss_e²
     (reference: losses.py:711-777).  Note: to match the batched loss on padded
     batches, ``normalize_loss`` divides by ``Σ_g n_g²`` computed from the mask."""
+    edge_weight = check_and_filter_edge_weights(edge_weight)
     ss_ij = jnp.sum(S[senders] * S[receivers], axis=-1)
     sum_res = jnp.sum((edge_weight - ss_ij) ** 2 * (edge_weight != 0))
     # correction: padded edges have w=0 AND ss may be nonzero only if both
@@ -267,6 +269,7 @@ def totvar_loss(S, adj, batch_reduction="mean"):
 
 def sparse_totvar_loss(senders, receivers, edge_weight, S, node_graph, num_graphs,
                        batch_reduction="mean"):
+    edge_weight = check_and_filter_edge_weights(edge_weight)
     l1 = jnp.sum(jnp.abs(S[senders] - S[receivers]), axis=-1)
     w = edge_weight * l1
     eg = node_graph[senders]
@@ -398,6 +401,7 @@ def spectral_loss(adj, S, adj_pooled, mask=None, batch_reduction="mean"):
 
 def sparse_spectral_loss(senders, receivers, edge_weight, S, node_graph, num_graphs,
                          node_mask=None, batch_reduction="mean"):
+    edge_weight = check_and_filter_edge_weights(edge_weight)
     N = S.shape[0]
     degrees = segment_sum(edge_weight, senders, N)
     eg = node_graph[senders]
@@ -540,6 +544,7 @@ def cluster_connectivity_prior_loss(K, K_mu, K_var, normalizing_const=None,
 def maxcut_loss(scores, senders, receivers, edge_weight, node_graph, num_graphs,
                 batch_reduction="mean"):
     """−zᵀAz / vol(G) per graph for a score vector z ∈ [−1, 1]."""
+    edge_weight = check_and_filter_edge_weights(edge_weight)
     if scores.ndim == 2:
         scores = scores[:, 0]
     N = scores.shape[0]

@@ -12,6 +12,7 @@ from tgp_tpu.ops.segment import (
 )
 from tgp_tpu.ops.sparse import (
     add_remaining_self_loops,
+    check_and_filter_edge_weights,
     coalesce,
     normalize_adj_sym,
     postprocess_adj_dense,
@@ -34,6 +35,7 @@ __all__ = [
     "segment_sum",
     "segment_topk_rank",
     "add_remaining_self_loops",
+    "check_and_filter_edge_weights",
     "coalesce",
     "normalize_adj_sym",
     "postprocess_adj_dense",

@@ -20,6 +20,7 @@ from tgp_tpu.ops.segment import (
 )
 
 __all__ = [
+    "check_and_filter_edge_weights",
     "coalesce",
     "weighted_degree",
     "remove_self_loops",
@@ -32,6 +33,24 @@ __all__ = [
     "rank3_trace",
     "rank3_diag",
 ]
+
+
+def check_and_filter_edge_weights(edge_weight):
+    """Normalize edge weights to flat ``[E]`` shape.
+
+    The reference accepts both ``[E]`` and ``[E, 1]`` column weights at every
+    entry point (``tgp/utils/ops.py:1043-1058``); this is the same contract.
+    A ``[E, 1]`` array is flattened; any other multi-dim shape raises.  The
+    check is on static shape only, so it is free under ``jit``.
+    """
+    if edge_weight is not None and edge_weight.ndim > 1:
+        if edge_weight.ndim == 2 and edge_weight.shape[-1] == 1:
+            edge_weight = jnp.reshape(edge_weight, (-1,))
+        else:
+            raise ValueError(
+                "Edge weights must be of shape [E] or [E, 1], but got "
+                f"{edge_weight.shape}.")
+    return edge_weight
 
 
 def coalesce(senders, receivers, edge_weight, edge_mask, num_nodes: int,
@@ -171,6 +190,7 @@ def spmm(senders, receivers, edge_weight, x, num_nodes: int, *,
     if method == "auto":
         method = ("pallas" if use_pallas_spmm(
             senders.shape[0], indices_are_sorted) else "xla")
+    edge_weight = check_and_filter_edge_weights(edge_weight)
     msgs = x[senders] * edge_weight[:, None]
     if method == "pallas":
         # the sorted-CSR kernel assumes ascending receivers — on unsorted
