@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -390,7 +391,9 @@ def main():
     # hand-picked dense model above
     try:
         default_path, _ = bench_jax_default(graphs, labels)
-    except Exception:
+    except Exception as e:  # report, never silently null the leg
+        print(f"default-path leg FAILED: {type(e).__name__}: {e}",
+              file=sys.stderr)
         default_path = None
     # the general sparse pipeline (auto-dispatched kernels), same workload
     # — the regime map's other leg (VERDICT r2 #3); timeout-guarded

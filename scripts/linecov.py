@@ -107,7 +107,13 @@ def branch_site_lines(path: Path) -> list:
                 stack.append(const)
         line = None
         for ins in dis.get_instructions(c):
-            if ins.starts_line is not None:
+            # 3.13 turned starts_line into a bool and moved the number to
+            # ins.line_number; support both
+            ln = getattr(ins, "line_number", None)
+            if ln is not None:
+                line = ln
+            elif isinstance(ins.starts_line, int) and not isinstance(
+                    ins.starts_line, bool):
                 line = ins.starts_line
             if ins.opname in _BRANCH_OPS:
                 out.append((c.co_qualname, ins.offset, line))

@@ -251,3 +251,66 @@ def test_pooling_classifier_dense_gradients_flow():
     # selector projection receives gradient through the dense fast path
     gw = grads["params"]["pooler"]["selector"]["weight"]
     assert float(jnp.abs(gw).sum()) > 0
+
+
+# ---------------------------------------------------------------------------
+# pooler-capability gate (round-4 review: auto-densify must consult the
+# pooler — sparse-only poolers crash on a DenseGraphBatch)
+# ---------------------------------------------------------------------------
+
+
+def test_prepare_batch_pooler_capability_gate():
+    b = make_batch([6, 5], num_features=4, seed=0)
+
+    # dense-capable poolers: auto still densifies
+    for alias in ("topk", "mincut"):
+        p = get_pooler(alias, in_channels=4, ratio=0.5, k=3)
+        assert isinstance(prepare_batch(b, pooler=p), DenseGraphBatch)
+
+    # sparse-only pooler: auto stays sparse instead of crashing in-model
+    sag = get_pooler("sag", in_channels=4, ratio=0.5)
+    assert prepare_batch(b, pooler=sag) is b
+
+    # forcing densify for a sparse-only pooler raises up front
+    with pytest.raises(ValueError, match="ACCEPTS_DENSE_BATCH"):
+        prepare_batch(b, densify=True, pooler=sag)
+
+    # handing a pre-densified batch to a sparse-only pooler raises too
+    with pytest.raises(ValueError, match="DenseGraphBatch"):
+        prepare_batch(to_dense(b), pooler=sag)
+
+    # class (not instance) also accepted
+    from tgp_tpu.poolers.topk import TopkPooling
+    assert isinstance(prepare_batch(b, pooler=TopkPooling),
+                      DenseGraphBatch)
+
+
+def test_gcn_norm_dense_abs_degrees_signed_weights():
+    # a node whose signed incident weights cancel must not blow up
+    # (per-layer GCNConv dense normalize uses abs degrees; pre-normalize
+    # must match that convention)
+    adj = jnp.asarray([[[0.0, -1.0], [-1.0, 0.0]]], jnp.float32)
+    d = DenseGraphBatch(x=jnp.ones((1, 2, 3)), adj=adj,
+                        mask=jnp.ones((1, 2), bool))
+    out = gcn_norm_dense(d, add_self_loops=True, adj_dtype=None)
+    # degrees: |−1| + |1 self loop| = 2 → entries bounded by 1
+    assert np.all(np.isfinite(np.asarray(out.adj)))
+    assert np.max(np.abs(np.asarray(out.adj))) <= 1.0 + 1e-6
+
+
+def test_bf16_adjacency_does_not_downcast_features():
+    from tgp_tpu.mp.gcn import GCNConv
+    b = make_batch([6, 5], num_features=4, seed=3)
+    dense = prepare_batch(b, normalize=True)  # adj bf16 by default
+    assert dense.adj.dtype == jnp.bfloat16
+    conv = GCNConv(8, normalize=False)
+    params = conv.init(jax.random.PRNGKey(0), dense, dense.x)
+    out = conv.apply(params, dense, dense.x)
+    # f32 features stay f32 through a bf16-adjacency layer
+    assert dense.x.dtype == jnp.float32
+    assert out.dtype == jnp.float32
+    # and agree with the f32-adjacency result to bf16 resolution
+    dense32 = prepare_batch(b, normalize=True, adj_dtype=None)
+    out32 = conv.apply(params, dense32, dense32.x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out32),
+                               rtol=2e-2, atol=2e-2)

@@ -39,6 +39,7 @@ def prepare_batch(
     densify: Union[str, bool] = "auto",
     normalize: bool = False,
     adj_dtype=jnp.bfloat16,
+    pooler=None,
 ) -> Union[GraphBatch, DenseGraphBatch]:
     """Densify a batch when the measured regime map says the dense pipeline
     wins; otherwise return it unchanged.
@@ -49,6 +50,12 @@ def prepare_batch(
       densify: ``"auto"`` applies
         :func:`~tgp_tpu.ops.sparse.use_dense_pipeline` on the static batch
         metadata (``B``, ``Nmax``); ``True``/``False`` forces.
+      pooler: the pooler module (or class) the batch is headed for.  Auto
+        mode only densifies when the pooler can consume a
+        :class:`DenseGraphBatch` (``ACCEPTS_DENSE_BATCH`` — the dense
+        cluster family and topk's dense fast path); forcing
+        ``densify=True`` for a sparse-only pooler raises instead of
+        crashing later inside the model.
       normalize: pre-apply the GCN normalization
         (:func:`~tgp_tpu.mp.gcn.gcn_norm_dense`) once — pair with
         ``pre_normalized=True`` on the model so its first MP layers skip
@@ -61,13 +68,28 @@ def prepare_batch(
     Call this OUTSIDE the jitted train step (it is host-side batch
     preparation, like collation).
     """
+    dense_ok = True
+    if pooler is not None:
+        cls = pooler if isinstance(pooler, type) else type(pooler)
+        dense_ok = bool(getattr(cls, "ACCEPTS_DENSE_BATCH", False))
     if isinstance(batch, DenseGraphBatch):
+        if not dense_ok:
+            raise ValueError(
+                f"{type(pooler).__name__} cannot consume a DenseGraphBatch "
+                "(ACCEPTS_DENSE_BATCH is False) — collate a sparse "
+                "GraphBatch instead")
         dense = batch
     else:
         if densify == "auto":
-            go = use_dense_pipeline(batch.num_graphs, batch.max_nodes)
+            go = dense_ok and use_dense_pipeline(
+                batch.num_graphs, batch.max_nodes)
         else:
             go = bool(densify)
+            if go and not dense_ok:
+                raise ValueError(
+                    f"densify=True but {type(pooler).__name__} cannot "
+                    "consume a DenseGraphBatch (ACCEPTS_DENSE_BATCH is "
+                    "False)")
         if not go:
             return batch
         dense = to_dense(batch)

@@ -38,7 +38,9 @@ def gcn_norm_dense(dense: DenseGraphBatch, *, add_self_loops: bool = True,
         eye = jnp.eye(adj.shape[-1], dtype=adj.dtype)
         m = dense.mask.astype(adj.dtype)
         adj = adj + eye * m[:, :, None]
-    dinv = jax.lax.rsqrt(jnp.clip(adj.sum(-1), 1e-12, None))
+    # abs degrees — same convention as the per-layer dense normalize below
+    # and normalize_adj_sym, so signed edge weights can't zero a degree
+    dinv = jax.lax.rsqrt(jnp.clip(jnp.abs(adj).sum(-1), 1e-12, None))
     adj = dinv[..., :, None] * adj * dinv[..., None, :]
     if adj_dtype is not None:
         adj = adj.astype(adj_dtype)
@@ -143,7 +145,11 @@ class GCNConv(nn.Module):
                                  interpret=jax.default_backend() == "cpu")
             else:
                 acc_dtype = jnp.float32 if self.dtype is None else h.dtype
-                out = jnp.einsum("bnm,bmf->bnf", adj, h.astype(adj.dtype),
+                # keep h at its own dtype: a bf16 *adjacency* (prepare_batch
+                # adj_dtype) must not silently truncate f32 features — the
+                # mixed-dtype einsum promotes adj on-chip (the convert fuses
+                # into the matmul read, so the bf16 HBM saving stands)
+                out = jnp.einsum("bnm,bmf->bnf", adj.astype(h.dtype), h,
                                  preferred_element_type=acc_dtype)
             if self.mask_output:
                 out = jnp.where(batch.mask[..., None], out, 0.0)

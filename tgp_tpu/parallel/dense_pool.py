@@ -124,7 +124,6 @@ def make_sharded_dense_pool_step(pooler, mesh: Mesh, rows_per: int,
         return mdl.selector(b, True)
 
     def body(params, x_loc, m_loc, s_d, r_d, w_d):
-        x_loc, m_loc = x_loc, m_loc
         s_d, r_d, w_d = s_d[0], r_d[0], w_d[0]
 
         lb = _local_view(x_loc, m_loc, rows_per)

@@ -148,6 +148,7 @@ class TopkPooling(SRCPooling):
 
     IS_TRAINABLE = True
     IS_PRECOARSENABLE = False
+    ACCEPTS_DENSE_BATCH = True  # dense fast path below
 
     def setup(self):
         self.selector = TopkSelect(

@@ -96,6 +96,10 @@ class SRCPooling(nn.Module):
     IS_TRAINABLE = False
     IS_PRECOARSENABLE = False
     SUPPORTS_SPARSE_OUT = True
+    #: the pooler's ``__call__`` accepts a pre-densified
+    #: :class:`~tgp_tpu.graph.DenseGraphBatch` (model-level regime
+    #: dispatch gate, models/prepare.py)
+    ACCEPTS_DENSE_BATCH = False
 
     def reduce(self, x: jax.Array, so: SelectOutput, **kw) -> jax.Array:
         return base_reduce(x, so, **kw)
@@ -142,6 +146,7 @@ class DenseSRCPooling(SRCPooling):
     """
 
     IS_DENSE = True
+    ACCEPTS_DENSE_BATCH = True
 
     @staticmethod
     def ensure_dense(batch, adj_transpose: bool = False) -> DenseGraphBatch:
