@@ -140,3 +140,101 @@ def test_duplicate_edge_votes_count_multiplicity():
     o_asg, o_mask = oracle.get_assignments_deterministic(
         np.array([0, 1]), ei, 3, max_iter=1)
     assert o_mask[2] and o_asg[2] - 1 == 1
+
+
+def test_dense_engine_counts_duplicate_votes():
+    """Round-4 review fix: the dense vote engine must count duplicate
+    directed edges by multiplicity, matching the sparse engine (and the
+    reference's per-edge vote counting) on un-coalesced multigraphs."""
+    from tgp_tpu.graph import from_graphs
+    from tgp_tpu.ops.assignment import assign_all_nodes
+    from tgp_tpu.select.base import cluster_to_select_output
+
+    # node 3 gets one vote from node 0 (cluster 5's seed... use 2 clusters)
+    # edges: 0->3, 0->3 (duplicate), 1->3. Seeds: node0->cluster0,
+    # node1->cluster1. Multiplicity majority => cluster 0... wait make the
+    # duplicate favor the HIGHER cluster id so tie-break can't mask it:
+    # 1->3, 1->3, 0->3: multiplicity majority = cluster of node1.
+    x = np.ones((4, 2), np.float32)
+    ei = np.array([[1, 1, 0], [3, 3, 3]])
+    b = from_graphs([(x, ei)], pad_nodes=8, pad_edges=8)
+    ci = jnp.concatenate([jnp.asarray([0, 1, 0, 0], jnp.int32),
+                          jnp.zeros(4, jnp.int32)])
+    sel = jnp.concatenate([jnp.asarray([True, True, False, False]),
+                           jnp.zeros(4, bool)])
+    so = cluster_to_select_output(ci, b, node_sel_mask=sel, num_clusters=2,
+                                  max_clusters=8, partial=True)
+    outs = {}
+    for impl in ("sparse", "dense"):
+        out = assign_all_nodes(so, b.senders, b.receivers, b.edge_mask,
+                               max_iter=1, node_pos=b.node_pos,
+                               max_nodes=b.max_nodes, impl=impl)
+        outs[impl] = int(np.asarray(out.cluster_index)[3])
+    assert outs["sparse"] == 1  # two votes from cluster 1 beat one from 0
+    assert outs["dense"] == outs["sparse"]
+
+
+def test_dense_impl_requires_layout():
+    from tgp_tpu.graph import from_graphs
+    from tgp_tpu.ops.assignment import assign_all_nodes
+    from tgp_tpu.select.base import cluster_to_select_output
+
+    x = np.ones((3, 2), np.float32)
+    ei = np.array([[0, 1], [2, 2]])
+    b = from_graphs([(x, ei)], pad_nodes=4, pad_edges=4)
+    so = cluster_to_select_output(
+        jnp.zeros(4, jnp.int32), b,
+        node_sel_mask=jnp.asarray([True, False, False, False]),
+        num_clusters=1, max_clusters=4, partial=True)
+    with pytest.raises(ValueError, match="node_pos"):
+        assign_all_nodes(so, b.senders, b.receivers, b.edge_mask,
+                         impl="dense")
+
+
+def test_zero_occupied_graph_keeps_nodes_unassigned():
+    """A graph whose selection occupies no supernode must NOT have its
+    nodes fall back to another graph's cluster (round-4 review fix)."""
+    from tgp_tpu.graph import from_graphs
+    from tgp_tpu.ops.assignment import assign_all_nodes
+    from tgp_tpu.select.base import cluster_to_select_output
+
+    x1 = np.ones((3, 2), np.float32)
+    e1 = np.array([[0, 1], [1, 2]])
+    x2 = np.ones((2, 2), np.float32)
+    e2 = np.array([[0], [1]])
+    b = from_graphs([(x1, e1), (x2, e2)], pad_nodes=8, pad_edges=8)
+    # only graph 0 has a seed; graph 1 selects nothing
+    sel = np.zeros(b.num_nodes, bool)
+    sel[0] = True
+    so = cluster_to_select_output(
+        jnp.zeros(b.num_nodes, jnp.int32), b,
+        node_sel_mask=jnp.asarray(sel), num_clusters=1, max_clusters=4,
+        partial=True)
+    out = assign_all_nodes(so, b.senders, b.receivers, b.edge_mask,
+                           max_iter=2)
+    ng = np.asarray(b.node_graph)
+    nm = np.asarray(b.node_mask)
+    asg = np.asarray(out.node_sel_mask)
+    # graph 0's valid nodes all assigned to its own cluster 0
+    assert asg[nm & (ng == 0)].all()
+    # graph 1's nodes stay unassigned instead of borrowing cluster 0
+    assert not asg[nm & (ng == 1)].any()
+
+
+def test_sparse_connect_accepts_column_edge_weight():
+    from tgp_tpu.connect.base import ConnectConfig, sparse_connect
+    from tgp_tpu.graph import from_graphs
+    from tgp_tpu.select.base import cluster_to_select_output
+
+    x = np.ones((4, 2), np.float32)
+    ei = np.array([[0, 1, 2, 3], [1, 0, 3, 2]])
+    b = from_graphs([(x, ei)], pad_nodes=8, pad_edges=8)
+    so = cluster_to_select_output(
+        jnp.asarray([0, 0, 1, 1] + [0] * 4, jnp.int32), b,
+        num_clusters=2, max_clusters=8)
+    flat = sparse_connect(b.senders, b.receivers, b.edge_weight,
+                          b.edge_mask, so, ConnectConfig())
+    col = sparse_connect(b.senders, b.receivers, b.edge_weight[:, None],
+                         b.edge_mask, so, ConnectConfig())
+    for a, c in zip(flat, col):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))

@@ -56,6 +56,9 @@ def sparse_connect(
     """Pooled sparse connectivity.  Returns ``(senders', receivers',
     edge_weight', edge_mask')`` over the ``[0, num_clusters)`` id space with
     the same static edge budget."""
+    from tgp_tpu.ops.sparse import check_and_filter_edge_weights
+
+    edge_weight = check_and_filter_edge_weights(edge_weight)
     sel = so.node_sel_mask
     new_s = so.cluster_index[senders]
     new_r = so.cluster_index[receivers]

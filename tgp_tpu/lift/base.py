@@ -124,9 +124,7 @@ def lift_dense_unbatched(x_pool: jax.Array, so: SelectOutput,
         inv = jnp.linalg.pinv(sts + 1e-9 * eye)
         s = jnp.einsum("nk,nkj->nj", s, inv[so.node_graph])
     per_node_block = x_pool[so.node_graph]  # [N, K, F]
-    out = _combine(s[:, None, :], per_node_block[:, :, :], reduce_op)[:, 0] \
-        if False else None
-    # _combine expects [..., n, k] × [..., k, f]; per-node contraction:
+    # per-node contraction [K] × [K, F] with reduce-op semantics:
     if reduce_op == "sum":
         out = jnp.einsum("nk,nkf->nf", s, per_node_block)
     elif reduce_op == "mean":

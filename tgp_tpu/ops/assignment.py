@@ -79,12 +79,12 @@ def _propagate_assignments_dense(so, senders, receivers, edge_mask, node_pos,
 
     The sparse step pays two ``E``-length lexsorts plus scatters per round;
     here vote counting is ONE batched one-hot matmul on the MXU —
-    ``counts[b,j,c] = Σ_i valid[b,i,j]·onehot(cluster)[b,i,c]`` — and the
+    ``counts[b,j,c] = Σ_i mult[b,i,j]·onehot(cluster)[b,i,c]`` — and the
     argmax over ``c`` reproduces the (max count, then smallest cluster id)
     tie-break exactly, because clusters are indexed by their per-graph
     ascending-global-id rank.  Same semantics, zero scatters per round.
-    Requires coalesced edges (duplicate directed edges collapse to one vote;
-    the sparse path would count them separately).
+    ``mult`` accumulates duplicate directed edges (multiplicity), so
+    multigraph inputs vote identically to the sparse engine.
 
     Returns the updated packed ``(cluster_index, assigned)``.
     """
@@ -102,19 +102,24 @@ def _propagate_assignments_dense(so, senders, receivers, edge_mask, node_pos,
         jnp.arange(C, dtype=jnp.int32))
 
     g_e = ng[senders]
-    A = jnp.zeros((B, Nm, Nm), bool).at[
-        g_e, node_pos[senders], node_pos[receivers]].max(edge_mask)
+    # edge multiplicity, not a bool adjacency: duplicate directed edges each
+    # carry a vote, matching propagate_assignments_step (and the reference's
+    # per-edge scatter vote, ops.py:1222-1314) on un-coalesced input
+    A = jnp.zeros((B, Nm, Nm), jnp.float32).at[
+        g_e, node_pos[senders], node_pos[receivers]].add(
+            edge_mask.astype(jnp.float32))
     # padding rows alias cell [B-1, Nm-1] (graph.py:228-229): they carry
-    # False/0 and max-combine, never clobbering a real node
+    # False/0 and add zero, never clobbering a real node
     asg_d = jnp.zeros((B, Nm), bool).at[ng, node_pos].max(so.node_sel_mask)
     cl0 = jnp.where(so.node_sel_mask,
                     c_rank[jnp.clip(so.cluster_index, 0, C - 1)], 0)
     cl_d = jnp.zeros((B, Nm), jnp.int32).at[ng, node_pos].max(cl0)
 
     for _ in range(max_iter):
-        valid = A & asg_d[:, :, None] & ~asg_d[:, None, :]
+        valid = (A * asg_d[:, :, None] *
+                 (~asg_d)[:, None, :])  # votes: assigned i → unassigned j
         oh = jax.nn.one_hot(cl_d, Km, dtype=jnp.float32) * asg_d[..., None]
-        counts = jnp.einsum("bij,bic->bjc", valid.astype(jnp.float32), oh)
+        counts = jnp.einsum("bij,bic->bjc", valid, oh)
         best_c = jnp.argmax(counts, axis=-1).astype(jnp.int32)
         has_vote = counts.max(axis=-1) > 0
         changed = has_vote & ~asg_d
@@ -143,20 +148,29 @@ def assign_all_nodes(so, senders, receivers, edge_mask, *,
     ``key`` is given (the reference's ``get_random_map_mask`` batch-
     respecting semantics, tgp/utils/ops.py:1177-1219), else to the first
     (lowest-id) occupied supernode (deterministic default — reproducible
-    under jit without an rng plumb-through).  ``weight`` replaces the
-    per-node assignment weight (MaxCut passes its scores).
+    under jit without an rng plumb-through).  A graph whose selection
+    occupies *no* supernode keeps its nodes unassigned (masked out) rather
+    than borrowing a cluster from another graph.  ``weight`` replaces the
+    per-node assignment weight; ``None`` resets to ones for every assigned
+    node — reference semantics (base_select.py:476-481 rebuilds the
+    SelectOutput with ``weight=weight``), so pass ``so.weight`` (as MaxCut
+    does with its scores) to preserve score gates.
 
     ``impl`` picks the propagation engine: ``'sparse'`` = per-round lexsort
     voting; ``'dense'`` = batched one-hot matmul voting (needs ``node_pos`` +
     ``max_nodes`` and coalesced edges); ``'auto'`` = dense when the layout is
     given and ``B·Nmax²`` fits the dense budget.
     """
+    if impl == "dense" and (node_pos is None or max_nodes is None):
+        raise ValueError(
+            "impl='dense' needs node_pos and max_nodes (the per-graph "
+            "dense layout); pass them or use impl='sparse'/'auto'")
     use_dense = False
     if node_pos is not None and max_nodes is not None and impl != "sparse":
-        from tgp_tpu.select.edge_contraction import _DENSE_BUDGET
+        from tgp_tpu.ops.sparse import use_dense_vote
 
-        use_dense = impl == "dense" or (
-            so.num_graphs * max_nodes ** 2 <= _DENSE_BUDGET)
+        use_dense = impl == "dense" or use_dense_vote(
+            so.num_graphs, max_nodes)
     if use_dense:
         cluster_index, assigned = _propagate_assignments_dense(
             so, senders, receivers, edge_mask, node_pos, max_nodes, max_iter)
@@ -172,7 +186,12 @@ def assign_all_nodes(so, senders, receivers, edge_mask, *,
         jnp.ones_like(cluster_index), cluster_index, so.num_clusters,
         mask=assigned) > 0
     C = so.num_clusters
-    remaining = so.node_mask & ~assigned
+    # a graph with zero occupied supernodes has nowhere in-graph to fall
+    # back to — leave its nodes unassigned rather than cross-graph
+    occ_per_graph = segment_sum(
+        jnp.ones(C, jnp.int32), so.cluster_graph, so.num_graphs,
+        mask=occupied) > 0
+    remaining = so.node_mask & ~assigned & occ_per_graph[so.node_graph]
     if key is not None:
         # reference-equivalent random fallback: uniform over the graph's
         # occupied supernodes.  table[g, j] = id of the graph's j-th

@@ -35,6 +35,20 @@ __all__ = [
 ]
 
 
+#: auto-dispatch threshold shared by the dense combinatorial engines
+#: (edge-contraction matching, KMIS, maxcut assignment voting): run the
+#: per-graph dense ``[B,Nmax,Nmax]`` loop when the matrix stays under 16M
+#: elements (64 MB int32/f32)
+DENSE_VOTE_BUDGET = 2 ** 24
+
+
+def use_dense_vote(num_graphs: int, max_nodes: int) -> bool:
+    """Regime test for the dense combinatorial engines (matching / MIS /
+    assignment voting): ``B·Nmax²`` must fit :data:`DENSE_VOTE_BUDGET`.
+    Static metadata only — decidable at trace time."""
+    return num_graphs * max_nodes ** 2 <= DENSE_VOTE_BUDGET
+
+
 def check_and_filter_edge_weights(edge_weight):
     """Normalize edge weights to flat ``[E]`` shape.
 

@@ -23,18 +23,18 @@ from tgp_tpu.select.base import SelectOutput
 __all__ = ["maximal_matching", "maximal_matching_dense", "matching",
            "EdgeContractionSelect"]
 
-#: auto-dispatch threshold: run the dense matching loop when the
-#: ``B·Nmax²`` rank matrix stays under 16M elements (64 MB int32)
-_DENSE_BUDGET = 2 ** 24
+from tgp_tpu.ops.sparse import DENSE_VOTE_BUDGET as _DENSE_BUDGET  # noqa: F401
+from tgp_tpu.ops.sparse import use_dense_vote
 
 
 def matching(rank, batch: GraphBatch, impl: str = "auto"):
     """Dispatch greedy maximal matching: ``'dense'`` (scatter-free
     ``[B,Nmax,Nmax]`` loop — ~3× faster at pooling scales), ``'sparse'``
-    (COO scatter loop, for huge graphs), or ``'auto'`` by memory budget."""
+    (COO scatter loop, for huge graphs), or ``'auto'`` by memory budget
+    (:func:`~tgp_tpu.ops.sparse.use_dense_vote`)."""
     if impl == "auto":
-        impl = ("dense" if batch.num_graphs * batch.max_nodes ** 2
-                <= _DENSE_BUDGET else "sparse")
+        impl = ("dense" if use_dense_vote(batch.num_graphs, batch.max_nodes)
+                else "sparse")
     if impl == "dense":
         return maximal_matching_dense(
             rank, batch.senders, batch.receivers, batch.edge_mask,

@@ -250,9 +250,9 @@ class KMISSelect(nn.Module):
             jnp.arange(batch.num_nodes, dtype=jnp.int32))
         impl = self.mis_impl
         if impl == "auto":
-            from tgp_tpu.select.edge_contraction import _DENSE_BUDGET
-            impl = ("dense" if batch.num_graphs * batch.max_nodes ** 2
-                    <= _DENSE_BUDGET else "sparse")
+            from tgp_tpu.ops.sparse import use_dense_vote
+            impl = ("dense" if use_dense_vote(
+                batch.num_graphs, batch.max_nodes) else "sparse")
         if impl == "dense":
             mis = maximal_independent_set_dense(rank, batch, self.order_k)
             cluster = mis_cluster_dense(mis, rank, batch, self.order_k)

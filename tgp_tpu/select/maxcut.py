@@ -45,7 +45,7 @@ class MaxCutScoreNet(nn.Module):
 
     @nn.compact
     def __call__(self, batch: GraphBatch) -> jax.Array:
-        from tgp_tpu.select.edge_contraction import _DENSE_BUDGET
+        from tgp_tpu.ops.sparse import use_dense_vote
 
         s, r, w, m = delta_gcn_matrix(
             batch.senders, batch.receivers, batch.edge_weight, batch.edge_mask,
@@ -53,8 +53,8 @@ class MaxCutScoreNet(nn.Module):
         w = jnp.where(m, w, 0.0)
         impl = self.mp_impl
         if impl == "auto":
-            impl = ("dense" if batch.num_graphs * batch.max_nodes ** 2
-                    <= _DENSE_BUDGET else "sparse")
+            impl = ("dense" if use_dense_vote(
+                batch.num_graphs, batch.max_nodes) else "sparse")
         a_mp = resolve_activation(self.mp_act)
         x = nn.Dense(self.in_channels)(batch.x)
         if impl == "dense":
