@@ -1,0 +1,174 @@
+"""Round-4 deep-review regression tests: aggregation mask/budget bugs,
+BNPool padding/freeze semantics, LOBPCG smallest-eigenpair correctness,
+bipartite sampler overflow guard."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tgp_tpu.graph import from_graphs
+from tgp_tpu.reduce.aggr import get_aggr
+
+
+# ---------------------------------------------------------------- aggr
+def test_softmax_aggr_multifeature_with_mask():
+    """softmax aggregation crashed with a reshape TypeError for F>1 when a
+    mask was given (the [N,1] mask hit segment_max's same-ndim reshape)."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(10, 3)), jnp.float32)
+    seg = jnp.asarray(rng.integers(0, 4, 10), jnp.int32)
+    mask = jnp.asarray(rng.random(10) < 0.8)
+    out = get_aggr("softmax")(x, seg, 4, mask)
+    assert out.shape == (4, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # numpy oracle on segment 0
+    xs = np.asarray(x)
+    m = np.asarray(mask) & (np.asarray(seg) == 0)
+    if m.any():
+        w = np.exp(xs[m] - xs[m].max(0))
+        w = w / w.sum(0)
+        np.testing.assert_allclose(np.asarray(out)[0], (w * xs[m]).sum(0),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_degree_scaler_budget_invariant():
+    """PNA degree scalers must not depend on the static cluster budget:
+    empty slots must not dilute the batch-average log-degree."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(20, 2)), jnp.float32)
+    seg = jnp.asarray(rng.integers(0, 4, 20), jnp.int32)
+    mask = jnp.ones(20, bool)
+    small = get_aggr("degree_scaler")(x, seg, 4, mask)
+    big = get_aggr("degree_scaler")(x, seg, 64, mask)
+    np.testing.assert_allclose(np.asarray(small), np.asarray(big)[:4],
+                               rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------- bnpool
+def _mk_graph(n, seed, p=0.4):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, 4)).astype(np.float32)
+    A = (rng.random((n, n)) < p)
+    A = np.triu(A, 1)
+    A = A | A.T
+    s, r = np.nonzero(A)
+    return x, np.stack([s, r])
+
+
+def _bnpool(batched, **kw):
+    from tgp_tpu.poolers import get_pooler
+    return get_pooler("bnpool", in_channels=4, k=3, batched=batched, **kw)
+
+
+def test_bnpool_sparse_kl_ignores_padding_nodes():
+    """Padding rows carry node_graph = B-1; their KL (posterior != prior at
+    init) must not leak into the last graph's loss."""
+    p = _bnpool(False)
+    gs = [_mk_graph(6, 0), _mk_graph(5, 1)]
+    b1 = from_graphs(gs, pad_nodes=16, pad_edges=64)
+    b2 = from_graphs(gs, pad_nodes=48, pad_edges=64)
+    params = p.init({"params": jax.random.PRNGKey(0),
+                     "sample": jax.random.PRNGKey(1)}, b1)
+    kls = []
+    for b in (b1, b2):
+        out = p.apply(params, b, rngs={"sample": jax.random.PRNGKey(2)})
+        kls.append(float(out.loss["kl"]))
+    assert kls[0] == pytest.approx(kls[1], rel=1e-5)
+
+
+def test_bnpool_dense_empty_graph_row_no_nan():
+    from tgp_tpu.graph import to_dense
+    p = _bnpool(True)
+    b = from_graphs([_mk_graph(6, 0)])
+    d = to_dense(b)
+    # append an all-padding graph row
+    d = d.replace(
+        x=jnp.concatenate([d.x, jnp.zeros_like(d.x)]),
+        adj=jnp.concatenate([d.adj, jnp.zeros_like(d.adj)]),
+        mask=jnp.concatenate([d.mask, jnp.zeros_like(d.mask)]))
+    params = p.init({"params": jax.random.PRNGKey(0),
+                     "sample": jax.random.PRNGKey(1)}, d)
+    out = p.apply(params, d, rngs={"sample": jax.random.PRNGKey(2)})
+    for name, v in out.loss.items():
+        assert np.isfinite(float(v)), name
+
+
+def test_bnpool_train_k_false_freezes_K():
+    """Reference creates K with requires_grad=train_K — with train_K=False
+    the reconstruction gradient must not update K."""
+    b = from_graphs([_mk_graph(6, 0)])
+    for flag, expect_zero in ((False, True), (True, False)):
+        p = _bnpool(True, train_K=flag)
+        params = p.init({"params": jax.random.PRNGKey(0),
+                         "sample": jax.random.PRNGKey(1)}, b)
+
+        def loss_fn(pp):
+            out = p.apply(pp, b, rngs={"sample": jax.random.PRNGKey(2)})
+            return sum(jnp.sum(v) for v in out.loss.values())
+
+        g = jax.grad(loss_fn)(params)
+        gk = np.asarray(g["params"]["K"])
+        assert (np.allclose(gk, 0.0) == expect_zero), (flag, gk)
+
+
+# ---------------------------------------------------------------- lobpcg
+def test_lobpcg_smallest_of_psd_laplacian():
+    """largest=False on a PSD Laplacian used to collapse into the spurious
+    null space of the Ritz subspace and return zero vectors."""
+    from tgp_tpu.ops.lap import lobpcg
+    rng = np.random.default_rng(0)
+    N = 40
+    M = rng.random((N, N)) < 0.15
+    M[np.arange(N - 1), np.arange(1, N)] = True  # chain: keep it connected
+    M = np.triu(M, 1)
+    M = M | M.T
+    L = np.diag(M.sum(1)) - M
+    si, ri = np.nonzero(L)
+    ev, V = lobpcg(jnp.asarray(si, jnp.int32), jnp.asarray(ri, jnp.int32),
+                   jnp.asarray(L[si, ri], jnp.float32), N, k=3,
+                   largest=False, num_iters=200)
+    true = np.sort(np.linalg.eigvalsh(L))[:3]
+    np.testing.assert_allclose(np.sort(np.asarray(ev)), true, atol=1e-3)
+    # eigenvectors are unit, not degenerate zeros
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(V), axis=0),
+                               1.0, atol=1e-4)
+
+
+def test_lobpcg_tol_early_exit_matches():
+    from tgp_tpu.ops.lap import lobpcg
+    rng = np.random.default_rng(3)
+    N = 30
+    M = rng.random((N, N)) < 0.2
+    M = np.triu(M, 1)
+    M = M | M.T
+    L = np.diag(M.sum(1)) - M
+    si, ri = np.nonzero(L)
+    args = (jnp.asarray(si, jnp.int32), jnp.asarray(ri, jnp.int32),
+            jnp.asarray(L[si, ri], jnp.float32), N)
+    ev_tol, _ = lobpcg(*args, k=2, largest=True, num_iters=500, tol=1e-5)
+    true = np.sort(np.linalg.eigvalsh(L))[::-1][:2]
+    np.testing.assert_allclose(np.asarray(ev_tol), true, atol=1e-3)
+
+
+# ---------------------------------------------------------------- sampling
+def test_bipartite_sampling_huge_node_sets_no_overflow():
+    """num_src·num_dst beyond int32 must route to the windowed membership
+    test instead of silently wrapping the edge keys."""
+    from tgp_tpu.ops.sampling import bipartite_negative_edge_sampling
+    rng = np.random.default_rng(0)
+    n_src = n_dst = 100_000  # product 1e10 >> 2^31
+    E = 64
+    s = jnp.asarray(rng.integers(0, n_src, E), jnp.int32)
+    r = jnp.asarray(rng.integers(0, n_dst, E), jnp.int32)
+    em = jnp.ones(E, bool)
+    ns, nr, nm = bipartite_negative_edge_sampling(
+        jax.random.PRNGKey(0), s, r, em, n_src, n_dst)
+    assert bool(nm.any())
+    # no sampled "negative" may be a real edge
+    real = set(zip(np.asarray(s).tolist(), np.asarray(r).tolist()))
+    for a, c, ok in zip(np.asarray(ns), np.asarray(nr), np.asarray(nm)):
+        if ok:
+            assert (int(a), int(c)) not in real

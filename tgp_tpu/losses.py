@@ -510,14 +510,18 @@ def beta_kl_divergence(a_q, b_q, a_p, b_p):
 
 
 def kl_loss(kl_per_node, mask=None, node_graph=None, num_graphs=None,
-            normalizing_const=None, batch_reduction="mean"):
+            node_mask=None, normalizing_const=None, batch_reduction="mean"):
     """Reduce a per-node KL (already summed over its last/event axis) to a
     scalar: masked-sum over nodes (batched ``[B,N]``) or segment-sum
-    (flat ``[N]`` + ``node_graph``); reference: losses.py:1359-1443."""
+    (flat ``[N]`` + ``node_graph``, with ``node_mask`` excluding padding
+    rows — their posterior is NOT the prior, so an unmasked sum would add
+    phantom KL to the graph holding the padding); reference:
+    losses.py:1359-1443."""
     if mask is not None and node_graph is not None:
         raise ValueError("Cannot specify both mask and node_graph")
     if node_graph is not None:
-        loss = segment_sum(kl_per_node, node_graph, num_graphs)
+        loss = segment_sum(kl_per_node, node_graph, num_graphs,
+                           mask=node_mask)
     elif mask is not None:
         loss = jnp.sum(jnp.where(mask, kl_per_node, 0.0), axis=-1)
     else:

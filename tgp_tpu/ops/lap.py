@@ -101,38 +101,66 @@ def lobpcg(senders, receivers, edge_weight, num_nodes: int, k: int = 1,
     sgn = 1.0 if largest else -1.0
 
     def orthonormalize(V):
+        """Symmetric-QR orthonormalization.  Returns ``(Q, valid)`` where
+        column ``j`` of Q is EXACTLY zero when the Gram direction was
+        near-null (no ``@ U.T`` back-rotation — keeping null directions
+        pinned to identifiable columns lets the Ritz step exclude them;
+        mixing them back would hand ``largest=False`` spurious 0
+        eigenvalues that outrank ``−λ`` of a PSD operator)."""
         G = V.T @ V
         w, U = jnp.linalg.eigh(G)
-        # drop near-null directions (zero them) instead of amplifying noise
-        scale = jnp.where(w > 1e-8, jax.lax.rsqrt(jnp.clip(w, 1e-8, None)),
-                          0.0)
-        return V @ (U * scale[None, :]) @ U.T
+        # relative rank cut: f32 Gram entries carry ~1e-7 noise, so
+        # directions below ~1e-6 of the dominant one are numerically void
+        valid = w > jnp.maximum(1e-8, 1e-6 * w[-1])
+        scale = jnp.where(valid, jax.lax.rsqrt(jnp.clip(w, 1e-12, None)), 0.0)
+        Q = V @ (U * scale[None, :])
+        # near-threshold Gram eigenvalues are f32 noise: the "normalized"
+        # column can come out with norm ≪ 1, then poisons every later Ritz
+        # step.  Validate on the ACTUAL norm and renormalize or zero.
+        nrm = jnp.linalg.norm(Q, axis=0)
+        valid = valid & (nrm > 0.5)
+        Q = Q * jnp.where(valid, 1.0 / jnp.maximum(nrm, 1e-12), 0.0)[None, :]
+        return Q, valid
 
     key = jax.random.key(seed)
-    X = orthonormalize(jax.random.normal(key, (N, K)))
+    X, _ = orthonormalize(jax.random.normal(key, (N, K)))
     P = jnp.zeros((N, K))
 
-    def body(_, state):
-        X, P, theta = state
+    def body(state):
+        i, X, P, theta, _res = state
         AX = matvec(X)
         theta = jnp.sum(X * AX, axis=0)  # Rayleigh quotients
         R = AX - X * theta[None, :]
+        res = jnp.max(jnp.linalg.norm(R, axis=0))
+        # explicit deflation (R, P ⊥ X) keeps the Gram near-block-diagonal —
+        # without it, converged residual noise re-enters the Ritz basis and
+        # periodically knocks a converged eigenvector back out
+        R = R - X @ (X.T @ R)
+        P_d = P - X @ (X.T @ P)
         # subspace S = [X, R, P] (2K cols on iter 0 — P is zero, harmless)
-        S = jnp.concatenate([X, R, P], axis=1)
-        S = orthonormalize(S)
+        S, valid = orthonormalize(jnp.concatenate([X, R, P_d], axis=1))
         AS = matvec(S)
         H = S.T @ AS
         H = 0.5 * (H + H.T)
-        evals, evecs = jnp.linalg.eigh(sgn * H)
+        # bury null columns at −∞ so the top-K Ritz picks never select them
+        Hs = sgn * H + jnp.diag(jnp.where(valid, 0.0, -1e30))
+        evals, evecs = jnp.linalg.eigh(Hs)
         # eigh ascends → take the LAST K columns for the extreme pairs
         C = evecs[:, -K:]
         X_new = S @ C
         # conjugate direction: the component of X_new outside span(X)
         P_new = X_new - X @ (X.T @ X_new)
-        return X_new, P_new, sgn * evals[-K:]
+        return i + 1, X_new, P_new, sgn * evals[-K:], res
 
-    X, P, theta = jax.lax.fori_loop(
-        0, num_iters, body, (X, P, jnp.zeros(K)))
+    def cond(state):
+        i, _, _, _, res = state
+        not_done = i < num_iters
+        if tol > 0.0:
+            not_done = not_done & (res > tol)
+        return not_done
+
+    _, X, P, theta, _ = jax.lax.while_loop(
+        cond, body, (0, X, P, jnp.zeros(K), jnp.asarray(jnp.inf)))
     # final Rayleigh quotients with consistent ordering (extreme first)
     order = jnp.argsort(-sgn * theta)
     return theta[order], X[:, order]

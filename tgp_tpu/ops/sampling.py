@@ -143,15 +143,23 @@ def bipartite_negative_edge_sampling(
     loops are NOT excluded (the two node sets are distinct)."""
     E = senders.shape[0]
     S = num_samples if num_samples is not None else E
-    key_table = jnp.sort(jnp.where(
-        edge_mask,
-        senders.astype(jnp.int32) * num_dst + receivers.astype(jnp.int32),
-        jnp.iinfo(jnp.int32).max))
+    if num_src * num_dst <= jnp.iinfo(jnp.int32).max:
+        key_table = jnp.sort(jnp.where(
+            edge_mask,
+            senders.astype(jnp.int32) * num_dst
+            + receivers.astype(jnp.int32),
+            jnp.iinfo(jnp.int32).max))
 
-    def collides(s, r):
-        q = s * num_dst + r
-        idx = jnp.clip(jnp.searchsorted(key_table, q), 0, E - 1)
-        return key_table[idx] == q
+        def collides(s, r):
+            q = s * num_dst + r
+            idx = jnp.clip(jnp.searchsorted(key_table, q), 0, E - 1)
+            return key_table[idx] == q
+    else:
+        # s·num_dst + r would overflow int32 → degree-windowed membership
+        # test, same fallback as the unipartite sampler past 46340 nodes
+        def collides(s, r):
+            return _is_edge_windowed(senders, receivers, edge_mask,
+                                     num_src, s, r)
 
     def draw(k):
         k1, k2 = jax.random.split(k)

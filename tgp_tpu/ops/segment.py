@@ -100,7 +100,9 @@ def segment_softmax(scores, segment_ids, num_segments, mask=None):
     shifted = scores - m[segment_ids]
     e = jnp.exp(shifted)
     if mask is not None:
-        e = jnp.where(mask, e, 0.0)
+        bm = (mask if mask.ndim == e.ndim
+              else mask.reshape(mask.shape + (1,) * (e.ndim - mask.ndim)))
+        e = jnp.where(bm, e, 0.0)
     denom = segment_sum(e, segment_ids, num_segments)
     denom = jnp.maximum(denom, 1e-16)
     return e / denom[segment_ids]

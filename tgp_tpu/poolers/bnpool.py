@@ -76,6 +76,12 @@ class BNPool(DenseSRCPooling):
             "K", lambda key, s: self.K_init * eye - self.K_init * (1 - eye),
             (self.k, self.k))
 
+    def _K_mat(self):
+        """K, frozen when ``train_K=False`` (reference: the parameter is
+        created with ``requires_grad=train_K``, bnpool.py:220-225 — a
+        non-trainable K must not drift under the reconstruction gradient)."""
+        return self.K if self.train_K else jax.lax.stop_gradient(self.K)
+
     def _K_mu_mat(self):
         eye = jnp.eye(self.k)
         return self.K_mu * eye - self.K_mu * (1 - eye)
@@ -89,9 +95,11 @@ class BNPool(DenseSRCPooling):
     def compute_loss(self, dense: DenseGraphBatch, so: SelectOutput
                      ) -> Dict[str, jax.Array]:
         s = so.s
-        rec_adj = jnp.einsum("bnk,kj,bmj->bnm", s, self.K, s)
+        rec_adj = jnp.einsum("bnk,kj,bmj->bnm", s, self._K_mat(), s)
         N = dense.mask.sum(-1)
-        N2 = (N * N).astype(s.dtype)
+        # clip: an all-padding graph row must yield 0, not 0/0 = NaN (the
+        # sparse path clips its per-graph count the same way)
+        N2 = jnp.maximum((N * N).astype(s.dtype), 1.0)
         rec = weighted_bce_reconstruction_loss(
             rec_adj, dense.adj, mask=dense.mask, balance_links=True,
             normalizing_const=N2)
@@ -117,7 +125,7 @@ class BNPool(DenseSRCPooling):
         all_s = jnp.concatenate([batch.senders, neg_s])
         all_r = jnp.concatenate([batch.receivers, neg_r])
         all_m = jnp.concatenate([batch.edge_mask, neg_m])
-        logits = jnp.sum((s[all_s] @ self.K) * s[all_r], -1)
+        logits = jnp.sum((s[all_s] @ self._K_mat()) * s[all_r], -1)
         y = jnp.concatenate([
             jnp.ones(batch.num_edges), jnp.zeros(batch.num_edges)])
         eg = batch.node_graph[all_s]
@@ -125,7 +133,8 @@ class BNPool(DenseSRCPooling):
             logits, y, edges_graph=eg, num_graphs=batch.num_graphs,
             sample_mask=all_m)
         kl = kl_loss(self._kl_per_node(so), node_graph=batch.node_graph,
-                     num_graphs=batch.num_graphs, normalizing_const=cnt)
+                     num_graphs=batch.num_graphs, node_mask=batch.node_mask,
+                     normalizing_const=cnt)
         if self.train_K:
             kp = cluster_connectivity_prior_loss(
                 self.K, self._K_mu_mat(), self.K_var, normalizing_const=cnt)

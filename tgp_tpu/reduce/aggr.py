@@ -74,7 +74,9 @@ def _agg_std(x, seg, C, mask):
 
 
 def _agg_softmax(x, seg, C, mask):
-    w = segment_softmax(x, seg, C, mask=mask[:, None] if mask is not None else None)
+    # flat [N] mask: segment_softmax broadcasts it over the feature axis
+    # (an [N,1] mask trips segment_max's same-ndim reshape for F>1)
+    w = segment_softmax(x, seg, C, mask=mask)
     return segment_sum(w * x, seg, C)
 
 
@@ -88,17 +90,19 @@ def _agg_variance_preserving(x, seg, C, mask):
     return segment_sum(x, seg, C, mask=mask) / jnp.sqrt(n)[:, None]
 
 
-def _to_padded_sequences(x, seg, C, mask, L):
+def _to_padded_sequences(x, seg, C, mask, L, key=None):
     """``[N,F]`` → per-segment padded ``[C, L, F]`` + length mask ``[C, L]``,
-    ordered by original node index within each segment.
+    ordered by original node index within each segment (or by descending
+    ``key`` when given — used by sort pooling).
 
     Segments longer than the ``L`` budget are TRUNCATED: elements ranked
     ``≥ L`` are dropped (the truncated-sequence semantics a reference user
     gets from slicing), never folded into the last slot (VERDICT r3 weak #3:
     the old clamp silently summed every over-budget node into slot L−1,
     corrupting LSTM/GRU/Set2Set/sort/median outputs for big clusters)."""
-    rank = segment_topk_rank(-jnp.arange(x.shape[0], dtype=jnp.float32), seg,
-                             C, mask=mask)
+    if key is None:
+        key = -jnp.arange(x.shape[0], dtype=jnp.float32)
+    rank = segment_topk_rank(key, seg, C, mask=mask)
     keep = mask & (rank < L)
     rank_c = jnp.minimum(rank, L - 1)  # clamped index; masked rows add zero
     seqs = jnp.zeros((C, L, x.shape[-1]), x.dtype).at[seg, rank_c].add(
@@ -126,10 +130,16 @@ def _agg_quantile(x, seg, C, mask, L: int, q: float = 0.5):
 def _agg_degree_scaler(x, seg, C, mask):
     """PyG ``DegreeScalerAggregation`` (PNA-style): mean scaled by
     [identity, log-amplification, log-attenuation], concatenated → 3F."""
-    n = jnp.clip(segment_count(seg, C, mask=mask), 1, None).astype(x.dtype)
+    cnt = segment_count(seg, C, mask=mask).astype(x.dtype)
+    nonempty = cnt > 0
+    n = jnp.clip(cnt, 1, None)
     mean = segment_mean(x, seg, C, mask=mask)
     log_n = jnp.log(n + 1.0)[:, None]
-    avg_log = jnp.mean(jnp.log(n + 1.0))
+    # batch estimate of PyG's dataset-constant avg degree: mean over the
+    # OCCUPIED slots only — empty/padded slots must not dilute the scalers
+    # (they would make pooled features depend on the static cluster budget)
+    avg_log = (jnp.sum(jnp.log(n + 1.0) * nonempty)
+               / jnp.maximum(jnp.sum(nonempty), 1.0))
     amp = mean * (log_n / jnp.maximum(avg_log, 1e-6))
     att = mean * (jnp.maximum(avg_log, 1e-6) / log_n)
     return jnp.concatenate([mean, amp, att], axis=-1)
@@ -395,14 +405,7 @@ class SortAggregation(nn.Module):
     @nn.compact
     def __call__(self, x, seg, C, mask):
         L = max(self.k, 4)
-        key = x[:, -1]
-        rank = segment_topk_rank(key, seg, C, mask=mask)
-        # drop ranks beyond the top-L (folding them into slot L-1 would
-        # corrupt the k-th row for segments larger than L)
-        keep = mask & (rank < L)
-        rank_c = jnp.minimum(rank, L - 1)
-        seqs = jnp.zeros((C, L, x.shape[-1]), x.dtype).at[seg, rank_c].add(
-            jnp.where(keep[:, None], x, 0.0))
+        seqs, _ = _to_padded_sequences(x, seg, C, mask, L, key=x[:, -1])
         return seqs[:, : self.k].reshape(C, -1)
 
 
