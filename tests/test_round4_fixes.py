@@ -172,3 +172,72 @@ def test_bipartite_sampling_huge_node_sets_no_overflow():
     for a, c, ok in zip(np.asarray(ns), np.asarray(nr), np.asarray(nm)):
         if ok:
             assert (int(a), int(c)) not in real
+
+
+# ------------------------------------------------------------- transforms
+def test_sortnodes_three_tuple_and_none_weight():
+    """(x, ei, y) shorthand and (x, ei, None, y) both work; previously the
+    3-tuple raised and the explicit-None form produced NaN edge weights."""
+    from tgp_tpu.data.transforms import SortNodes
+    x = np.arange(8, dtype=np.float32).reshape(4, 2)
+    ei = np.array([[0, 1, 2], [1, 2, 3]])
+    y = np.array([2, 0, 1, 0])
+    for graph in [(x, ei, y), (x, ei, None, y)]:
+        out = SortNodes()(graph)
+        x2, ei2, y2 = out[0], out[1], out[-1]
+        assert np.all(np.diff(y2) >= 0)
+        # edge endpoints still connect the same feature rows
+        for e in range(ei.shape[1]):
+            np.testing.assert_array_equal(x2[ei2[0, e]], x[ei[0, e]])
+    # a 3-tuple output slots back through from_graphs cleanly (no NaN ew)
+    from tgp_tpu.graph import from_graphs
+    x2, ei2, y2 = SortNodes()((x, ei, y))
+    b = from_graphs([(x2, ei2)])
+    assert np.isfinite(np.asarray(b.edge_weight)).all()
+
+
+def test_normalize_adj_preserves_y_and_composes():
+    from tgp_tpu.data.transforms import NormalizeAdj, SortNodes
+    x = np.ones((4, 2), np.float32)
+    ei = np.array([[0, 1, 2], [1, 2, 3]])
+    ew = np.ones(3, np.float32)
+    y = np.array([1, 0, 2, 0])
+    out = NormalizeAdj()((x, ei, ew, y))
+    assert len(out) == 4  # y preserved
+    np.testing.assert_array_equal(out[3], y)
+    # composition NormalizeAdj -> SortNodes no longer crashes
+    res = SortNodes()(out)
+    assert np.all(np.diff(res[-1]) >= 0)
+
+
+def test_precoarsening_kwargs_apply_to_list_aliases():
+    from tgp_tpu.precoarsen.api import PreCoarsening
+    pc = PreCoarsening(poolers=["ndp", "ndp"],
+                       kwargs={"sparse_threshold": 0.5})
+    cfgs = pc._normalized()
+    assert all(kw == {"sparse_threshold": 0.5} for _, kw in cfgs)
+
+
+def test_precoarsening_tuple_of_aliases_and_bad_config():
+    from tgp_tpu.precoarsen.api import PreCoarsening
+    # a tuple of alias strings is a per-level list, not (alias, kwargs)
+    cfgs = PreCoarsening(poolers=("ndp", "graclus"))._normalized()
+    assert cfgs == [("ndp", {}), ("graclus", {})]
+    with pytest.raises(ValueError, match="alias"):
+        PreCoarsening(poolers=[("ndp", "oops")])._normalized()
+
+
+def test_precoarsening_passes_y_through():
+    from tgp_tpu.precoarsen.api import PreCoarsening
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(12, 3)).astype(np.float32)
+    A = np.triu(rng.random((12, 12)) < 0.4, 1)
+    A = A | A.T
+    s, r = np.nonzero(A)
+    ei = np.stack([s, r])
+    y = rng.integers(0, 3, 12)
+    out = PreCoarsening(poolers="graclus", levels=1)((x, ei, None, y))
+    # (x, ei, y, levels)
+    assert len(out) == 4
+    np.testing.assert_array_equal(out[2], y)
+    assert isinstance(out[3], list) and len(out[3]) == 1

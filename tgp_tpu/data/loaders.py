@@ -13,13 +13,23 @@ from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from tgp_tpu.graph import GraphBatch, from_graphs
+from tgp_tpu.graph import GraphBatch, ceil_to as _ceil_to, from_graphs
 
-__all__ = ["GraphLoader", "BucketedGraphLoader", "compute_budgets"]
+__all__ = ["GraphLoader", "BucketedGraphLoader", "compute_budgets",
+           "worst_case_cycled"]
 
 
-def _ceil_to(v: int, m: int) -> int:
-    return ((v + m - 1) // m) * m
+def worst_case_cycled(per: Sequence[int], batch_size: int) -> int:
+    """Worst-case total of ``batch_size`` draws from ``per`` (descending
+    counts), where short datasets pad batches by CYCLING the graph list —
+    each item can appear up to ``ceil(B/L)`` times.  Shared by the base
+    and pooled loaders so their budgets always agree."""
+    per = sorted(per, reverse=True)
+    L = len(per)
+    if batch_size >= L:
+        reps, rem = divmod(batch_size, L)
+        return reps * sum(per) + sum(per[:rem])
+    return sum(per[:batch_size])
 
 
 def compute_budgets(graphs: Sequence, batch_size: int,
@@ -29,18 +39,9 @@ def compute_budgets(graphs: Sequence, batch_size: int,
     ``batch_size``-sized batch of ``graphs``."""
     n_per = sorted((g[0].shape[0] for g in graphs), reverse=True)
     e_per = sorted((g[1].shape[1] for g in graphs), reverse=True)
-    L = len(n_per)
-    if batch_size >= L:
-        # short datasets: batches are padded by cycling the graph list, so
-        # each graph can appear up to ceil(B/L) times
-        reps, rem = divmod(batch_size, L)
-        worst_n = reps * sum(n_per) + sum(n_per[:rem])
-        worst_e = reps * sum(e_per) + sum(e_per[:rem])
-    else:
-        worst_n = sum(n_per[:batch_size])
-        worst_e = sum(e_per[:batch_size])
-    pad_nodes = _ceil_to(worst_n, node_multiple)
-    pad_edges = _ceil_to(max(worst_e, 1), edge_multiple)
+    pad_nodes = _ceil_to(worst_case_cycled(n_per, batch_size), node_multiple)
+    pad_edges = _ceil_to(
+        max(worst_case_cycled(e_per, batch_size), 1), edge_multiple)
     return pad_nodes, pad_edges, n_per[0]
 
 

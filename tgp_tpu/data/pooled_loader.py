@@ -16,7 +16,7 @@ from typing import List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from tgp_tpu.graph import GraphBatch
+from tgp_tpu.graph import GraphBatch, ceil_to as _ceil_to
 from tgp_tpu.select.base import SelectOutput
 
 __all__ = ["collate_level", "separate_level", "PooledGraphLoader",
@@ -48,10 +48,6 @@ class LevelBatch:
             x_pool = jnp.concatenate(
                 [x_pool, jnp.zeros((pad, x_pool.shape[1]), x_pool.dtype)])
         return jnp.where(self.graph.node_mask[:, None], x_pool, 0.0)
-
-
-def _ceil_to(v, m):
-    return ((v + m - 1) // m) * m
 
 
 def collate_level(levels: Sequence[dict], prev_node_offsets: np.ndarray,
@@ -144,6 +140,14 @@ def collate_level(levels: Sequence[dict], prev_node_offsets: np.ndarray,
         )
     elif kind in ("dense", "eigen"):
         K = max(k_per)
+        if len(set(k_per)) != 1:
+            # the pooled graph packs supernodes at cumsum(k_per) offsets but
+            # dense [B,K,F] reduce output flattens with a uniform K stride —
+            # varying per-graph cluster counts would silently misalign
+            # features with supernode rows
+            raise ValueError(
+                "dense/eigen precoarsen levels need a uniform per-graph "
+                f"cluster count (fixed_k); got {sorted(set(k_per))}")
         if kind == "eigen":
             H = int(levels[0]["num_modes"])
             width = H * K
@@ -251,13 +255,8 @@ class PooledGraphLoader:
         self.batch_size = batch_size
 
         # per-level dataset-wide budgets (bounding the cycled worst case —
-        # short datasets pad batches by cycling the graph order)
-        def _worst(per, B):
-            L = len(per)
-            if B >= L:
-                reps, rem = divmod(B, L)
-                return reps * sum(per) + sum(per[:rem])
-            return sum(per[:B])
+        # shared with the base loader so both always budget identically)
+        from tgp_tpu.data.loaders import worst_case_cycled as _worst
 
         self.level_budgets = []
         for lvl in range(self.num_levels):

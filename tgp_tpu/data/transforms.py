@@ -12,53 +12,73 @@ from dataclasses import dataclass
 
 import numpy as np
 
-__all__ = ["NormalizeAdj", "SortNodes"]
+__all__ = ["NormalizeAdj", "SortNodes", "split_graph_tuple"]
+
+
+def split_graph_tuple(graph):
+    """Parse a positional graph tuple ``(x, ei[, ew][, y])`` →
+    ``(x, ei, ew, y)`` with ``ew``/``y`` possibly ``None``.
+
+    Handles the two footguns of the positional convention: an explicit
+    ``None`` in the edge-weight slot (``(x, ei, None, y)``) and the
+    ``(x, ei, y)`` shorthand — a 1-D *integer* array of length-N in slot 2
+    is node labels, not edge weights (edge weights are float, per-edge).
+    """
+    x, ei = np.asarray(graph[0]), np.asarray(graph[1])
+    ew = graph[2] if len(graph) > 2 else None
+    y = graph[3] if len(graph) > 3 else None
+    if ew is not None:
+        ew = np.asarray(ew)
+        if (y is None and ew.ndim == 1 and ew.shape[0] == x.shape[0]
+                and np.issubdtype(ew.dtype, np.integer)):
+            y, ew = ew, None
+    if y is not None:
+        y = np.asarray(y)
+    return x, ei, ew, y
 
 
 @dataclass
 class NormalizeAdj:
     """``A → (1−δ)·I + δ·D^{-1/2} A D^{-1/2}`` ≡ ``I − δ·L_sym``
     (reference: tgp/data/transforms.py:30-136; JustBalance's
-    ``data_transforms`` pre-transform)."""
+    ``data_transforms`` pre-transform).  Trailing node labels ``y`` are
+    passed through so the transform composes with :class:`SortNodes`."""
 
     delta: float = 0.85
     add_self_loops: bool = True
 
     def __call__(self, graph):
-        x, ei = graph[0], np.asarray(graph[1])
-        ew = np.asarray(graph[2], np.float64) if len(graph) > 2 else np.ones(
-            ei.shape[1])
+        from tgp_tpu.precoarsen.common import coalesce_numpy
+
+        x, ei, ew, y = split_graph_tuple(graph)
+        if ew is None:
+            ew = np.ones(ei.shape[1])
+        ew = np.asarray(ew, np.float64)
         n = x.shape[0]
         deg = np.zeros(n)
         np.add.at(deg, ei[1], ew)
         dinv = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1e-12)), 0.0)
         w_norm = self.delta * ew * dinv[ei[0]] * dinv[ei[1]]
-        # merge with (1-δ)·I self-loops
+        # merge with (1-δ)·I self-loops, coalescing any existing loops
         loops = np.arange(n)
         ei_out = np.concatenate([ei, np.stack([loops, loops])], axis=1)
         w_out = np.concatenate([w_norm, np.full(n, 1.0 - self.delta)])
-        # coalesce duplicates (existing self-loops)
-        key = ei_out[0].astype(np.int64) * n + ei_out[1]
-        order = np.argsort(key, kind="stable")
-        key, w_out = key[order], w_out[order]
-        uniq, first = np.unique(key, return_index=True)
-        sums = np.add.reduceat(w_out, first)
-        ei_final = np.stack([uniq // n, uniq % n]).astype(ei.dtype)
-        return (x, ei_final, sums.astype(np.float32))
+        ei_final, sums = coalesce_numpy(ei_out, w_out, n)
+        out = (x, ei_final.astype(ei.dtype), sums.astype(np.float32))
+        return out + ((y,) if y is not None else ())
 
 
 @dataclass
 class SortNodes:
     """Sort nodes by label, remapping edge_index (reference:
-    tgp/data/transforms.py:139-181).  Graph tuples gain a ``y`` element:
-    ``(x, edge_index, edge_weight, y)``."""
+    tgp/data/transforms.py:139-181).  Accepts ``(x, ei, y)``,
+    ``(x, ei, ew, y)`` or ``(x, ei, None, y)``; edge order (and therefore
+    ``ew``) is unchanged — only the node ids inside ``edge_index`` remap."""
 
     descending: bool = False
 
     def __call__(self, graph):
-        x, ei = np.asarray(graph[0]), np.asarray(graph[1])
-        ew = np.asarray(graph[2]) if len(graph) > 2 else None
-        y = np.asarray(graph[3]) if len(graph) > 3 else None
+        x, ei, ew, y = split_graph_tuple(graph)
         if y is None:
             raise ValueError("SortNodes needs node labels y")
         order = np.argsort(-y if self.descending else y, kind="stable")

@@ -148,8 +148,12 @@ class DenseGraphBatch:
 # ---------------------------------------------------------------------------
 
 
-def _ceil_to(v: int, m: int) -> int:
+def ceil_to(v: int, m: int) -> int:
+    """Round ``v`` up to a multiple of ``m`` (shared padding helper)."""
     return ((v + m - 1) // m) * m
+
+
+_ceil_to = ceil_to  # internal alias
 
 
 def from_graphs(

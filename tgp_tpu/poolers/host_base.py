@@ -22,12 +22,9 @@ import numpy as np
 
 from tgp_tpu.data.pooled_loader import collate_level
 from tgp_tpu.graph import GraphBatch
+from tgp_tpu.graph import ceil_to as _ceil_to
 from tgp_tpu.reduce.base import base_reduce
 from tgp_tpu.src import PoolingOutput
-
-
-def _ceil_to(v, m):
-    return ((v + m - 1) // m) * m
 
 
 @dataclass

@@ -81,18 +81,31 @@ class PreCoarsening:
 
     def _normalized(self) -> List[Tuple[str, dict]]:
         cfgs = self.poolers
-        if isinstance(cfgs, (str, tuple)):
-            cfg = (cfgs if isinstance(cfgs, tuple) else (cfgs, self.kwargs))
-            return [cfg] * self.levels
+        if isinstance(cfgs, str):
+            return [(cfgs, self.kwargs)] * self.levels
+        if (isinstance(cfgs, tuple) and len(cfgs) == 2
+                and isinstance(cfgs[1], dict)):
+            # a single ("alias", kwargs) config repeated over levels
+            return [cfgs] * self.levels
         out = []
         for c in cfgs:
-            out.append(c if isinstance(c, tuple) else (c, {}))
+            if isinstance(c, str):
+                # bare alias inherits the shared kwargs (they used to be
+                # silently dropped for per-level lists)
+                out.append((c, dict(self.kwargs)))
+            elif (isinstance(c, tuple) and len(c) == 2
+                    and isinstance(c[1], dict)):
+                out.append(c)
+            else:
+                raise ValueError(
+                    "per-level pooler config must be 'alias' or "
+                    f"('alias', kwargs-dict); got {c!r}")
         return out
 
     def __call__(self, graph):
-        x = np.asarray(graph[0])
-        ei = np.asarray(graph[1])
-        ew = np.asarray(graph[2]) if len(graph) > 2 else None
+        from tgp_tpu.data.transforms import split_graph_tuple
+
+        x, ei, ew, y = split_graph_tuple(graph)
         n = x.shape[0]
 
         cfgs = self._normalized()
@@ -114,4 +127,5 @@ class PreCoarsening:
             cur_ei, cur_ew = last["edge_index"], last["edge_weight"]
             cur_n = last["num_clusters"]
 
-        return (x, ei) + ((ew,) if ew is not None else ()) + (levels,)
+        return ((x, ei) + ((ew,) if ew is not None else ())
+                + ((y,) if y is not None else ()) + (levels,))

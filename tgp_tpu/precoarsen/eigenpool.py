@@ -3,7 +3,9 @@ tgp/select/eigenpool_select.py:82-467; Ma et al., KDD 2019).
 
 Spectral clustering → hard partition Ω; pooling operator Θ ∈ [N, H·K]
 stacking the first ``H`` eigenvectors of each cluster's subgraph Laplacian
-(sign-fixed: first nonzero entry positive; columns indexed mode-major
+(sign-fixed reference-exactly: flipped iff the FIRST entry is negative —
+eigenpool_select.py:146-149; a zero first entry keeps LAPACK's sign, same
+as the reference; columns indexed mode-major
 ``h·K + c``); pooled connectivity ``A' = Ωᵀ(A − A_int)Ω`` where ``A_int``
 keeps only intra-cluster edges (reference: EigenPoolConnect,
 tgp/connect/eigenpool_conn.py:19-321).

@@ -59,8 +59,10 @@ def kron_reduction(L: sp.spmatrix, idx_pos, idx_neg,
             Lnew = (Lnew + Lnew.T) / 2.0
     A_pool = -sp.csr_matrix(Lnew)
     if sparse_threshold > 0:
-        A_pool = A_pool.multiply(np.abs(A_pool.toarray()) > sparse_threshold)
-        A_pool = sp.csr_matrix(A_pool)
+        # threshold in place on the sparse data — densifying here costs
+        # O(k²) host memory per level (20 GB at k=50k)
+        A_pool.data[np.abs(A_pool.data) <= sparse_threshold] = 0.0
+        A_pool.eliminate_zeros()
     A_pool.setdiag(0)
     A_pool.eliminate_zeros()
     return A_pool.astype(np.float32)
