@@ -149,3 +149,69 @@ def test_sharded_pooled_gradients_match_single_device():
     for k in g1:
         np.testing.assert_allclose(np.asarray(g8[k]), np.asarray(g1[k]),
                                    rtol=5e-4, atol=1e-5, err_msg=k)
+
+
+def test_overbudget_k_gate_grads_finite():
+    """ks rounded up to a device multiple can exceed num_valid; the -inf
+    scores of padding picks must not NaN the backward (round-4 fix)."""
+    from jax import shard_map
+
+    from tgp_tpu.parallel.pooled_model import _forward_local, level_ks
+
+    mesh = _mesh()
+    n_dev = 8
+    n_nodes = 6  # ratio 0.9 -> k=6 -> rounded to 8 > num_valid
+    x, ei = erdos_renyi_graph(n_nodes, p=0.6, seed=0)
+    S, R, W, n_pad, rows_per = prepare_sharded_graph(
+        ei[0], ei[1], np.ones(ei.shape[1], np.float32), n_nodes, n_dev)
+    ks = level_ks(n_nodes, 0.9, 1, n_dev)
+    assert ks[0] > n_nodes  # the over-budget case under test
+    params = init_pooled_params(
+        jax.random.PRNGKey(0), x.shape[1], 16, 3, num_levels=1)
+    x_pad = jnp.zeros((n_pad, x.shape[1])).at[:n_nodes].set(x)
+
+    def loss(p, x_loc, S_d, R_d, W_d):
+        logits, _ = _forward_local(
+            p, x_loc, S_d[0], R_d[0], W_d[0], rows_per=rows_per,
+            num_valid=n_nodes, ks=ks, axis="gp")
+        return jnp.sum(logits ** 2)
+
+    smapped = shard_map(
+        lambda p, xl, s, r, w: jax.grad(loss)(p, xl, s, r, w),
+        mesh=mesh,
+        in_specs=(P(), P("gp"), P("gp"), P("gp"), P("gp")),
+        out_specs=P(),
+    )
+    grads = smapped(params, x_pad, S, R, W)
+    for name, g in grads.items():
+        assert np.isfinite(np.asarray(g)).all(), name
+
+
+def test_level_ks_validation_and_agreement():
+    from tgp_tpu.parallel.pooled_model import level_ks
+    with pytest.raises(ValueError, match="num_levels"):
+        level_ks(64, 0.5, 0, 8)
+    assert level_ks(100, 0.5, 2, 8) == (56, 32)
+
+
+def test_dp_train_step_supports_adamw():
+    """tx.update must receive params so weight-decay optimizers work."""
+    import optax
+
+    from tgp_tpu.parallel.train import make_dp_train_step, make_mesh
+
+    _mesh()  # skip when <8 devices
+    mesh = make_mesh()  # the dp mesh the train step expects
+    tx = optax.adamw(1e-3, weight_decay=1e-4)
+    params = {"w": jnp.ones((4, 2))}
+
+    def loss_fn(p, batch, y):
+        return jnp.mean((batch @ p["w"] - y) ** 2)
+
+    step = make_dp_train_step(loss_fn, tx, mesh)
+    opt_state = tx.init(params)
+    batch = jnp.ones((8, 3, 4))
+    y = jnp.zeros((8, 3, 2))
+    params2, opt_state, loss = step(params, opt_state, batch, y)
+    assert np.isfinite(float(loss))
+    assert not np.allclose(np.asarray(params2["w"]), 1.0)

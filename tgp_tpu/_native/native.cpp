@@ -18,30 +18,10 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
-#include <random>
 #include <unordered_map>
 #include <vector>
 
 extern "C" {
-
-// CSR from COO helper (internal).
-static void build_csr(int64_t n, int64_t e, const int64_t* src,
-                      const int64_t* dst, const double* w,
-                      std::vector<int64_t>& indptr,
-                      std::vector<int64_t>& indices,
-                      std::vector<double>& data) {
-  indptr.assign(n + 1, 0);
-  for (int64_t i = 0; i < e; ++i) indptr[src[i] + 1]++;
-  for (int64_t i = 0; i < n; ++i) indptr[i + 1] += indptr[i];
-  indices.resize(e);
-  data.resize(e);
-  std::vector<int64_t> cursor(indptr.begin(), indptr.end() - 1);
-  for (int64_t i = 0; i < e; ++i) {
-    int64_t p = cursor[src[i]]++;
-    indices[p] = dst[i];
-    data[p] = w ? w[i] : 1.0;
-  }
-}
 
 // Graclus: deterministic weight-sorted greedy matching (same flavor as the
 // device path, tgp_tpu/select/graclus.py).  The reference's matcher scans
@@ -101,7 +81,6 @@ void maximal_matching_ranked(int64_t n, int64_t e, const int64_t* src,
 void propagate_assignments(int64_t n, int64_t e, const int64_t* src,
                            const int64_t* dst, int64_t max_iter,
                            int64_t num_clusters, int64_t* assignments) {
-  std::vector<int64_t> counts(num_clusters);
   for (int64_t it = 0; it < max_iter; ++it) {
     std::vector<int64_t> updates(n, -1);
     bool any = false;

@@ -61,7 +61,11 @@ class GTVConv(nn.Module):
             abs_diff = jnp.sum(jnp.abs(h[s] - h[r]), -1)
             gamma = batch.edge_weight / jnp.clip(abs_diff, self.eps, None)
             gamma = jnp.where(em, gamma, 0.0)
-            # (I − δL_Γ) h = h − δ·(D_Γ h − Γ h)
+            # (I − δL_Γ) h = h − δ·(D_Γ h − Γ h).  NOTE: aggregation is at
+            # SENDERS (gathering h[receivers]) — the reference GTVConv runs
+            # propagate with flow="target_to_source" (tgp/mp/gtvconv.py:75),
+            # the transpose of GCNConv's flow, which is exactly what makes
+            # this twin the dense `mod @ h` row-aggregation above.
             deg = segment_sum(gamma, s, N)
             neigh = jax.ops.segment_sum(gamma[:, None] * h[r], s,
                                         num_segments=N)

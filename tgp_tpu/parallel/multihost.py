@@ -23,7 +23,6 @@ validate the sharding compiles and matches the single-device reference.
 
 from __future__ import annotations
 
-import math
 from typing import Optional, Sequence
 
 import jax
@@ -48,15 +47,20 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     distributed mode was initialized, False for single-process runs (no-op,
     so library code can call this unconditionally).
     """
-    if jax.process_count() > 1:  # already initialized
-        return True
+    # NB: do NOT touch jax.process_count() before initialize — it boots the
+    # XLA backend, after which distributed.initialize always raises and a
+    # fresh pod would silently run single-host forever
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-        return jax.process_count() > 1
     except Exception:
-        return False
+        if coordinator_address is not None:
+            raise  # explicit configuration must fail loudly
+        return False  # single-process / nothing to autodetect
+    return jax.process_count() > 1
 
 
 def make_hybrid_mesh(n_groups: int, per_group: int,
@@ -110,7 +114,6 @@ def stack_group_graphs(prepped: Sequence[tuple]):
 def make_hybrid_pooled_train_step(mesh: Mesh, tx, *, rows_per: int,
                                   n_pad: int, num_valid: int,
                                   ratio: float = 0.5, num_levels: int = 1,
-                                  num_classes: int = 3,
                                   dcn_axis: str = "dcn",
                                   ici_axis: str = "ici"):
     """Jitted hybrid train step: DP over ``dcn_axis`` (one graph per group),
@@ -125,15 +128,10 @@ def make_hybrid_pooled_train_step(mesh: Mesh, tx, *, rows_per: int,
     """
     from jax import shard_map
 
+    from tgp_tpu.parallel.pooled_model import level_ks
+
     n_ici = mesh.shape[ici_axis]
-    ks = []
-    cur = num_valid
-    for _ in range(num_levels):
-        k = max(int(math.ceil(ratio * cur)), 1)
-        k = ((k + n_ici - 1) // n_ici) * n_ici
-        ks.append(k)
-        cur = k
-    ks = tuple(ks)
+    ks = level_ks(num_valid, ratio, num_levels, n_ici)
 
     def per_device(params, opt_state, x, S, R, W, y):
         # leading group axis (size 1 per device) and ici edge-partition axis
@@ -152,7 +150,7 @@ def make_hybrid_pooled_train_step(mesh: Mesh, tx, *, rows_per: int,
             return jax.lax.pmean(ce, dcn_axis)
 
         loss, grads = jax.value_and_grad(mean_loss)(params)
-        updates, opt_state = tx.update(grads, opt_state)
+        updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 

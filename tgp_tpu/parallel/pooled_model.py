@@ -42,7 +42,26 @@ from jax.sharding import Mesh, PartitionSpec as P
 from tgp_tpu.parallel.spmm import partition_edges
 
 __all__ = ["init_pooled_params", "make_sharded_pooled_forward",
-           "reference_pooled_forward", "prepare_sharded_graph"]
+           "reference_pooled_forward", "prepare_sharded_graph", "level_ks"]
+
+
+def level_ks(num_valid: int, ratio: float, num_levels: int,
+             n_devices: int):
+    """Per-level supernode counts: ``ceil(ratio·n)`` rounded up to a
+    device-count multiple.  The single source of truth shared by the
+    sharded forward and the hybrid train step — they must agree bit-exactly
+    or the hybrid step silently builds a different model."""
+    if num_levels < 1:
+        raise ValueError("num_levels must be >= 1 (a pool-free GCN has no "
+                         "pooled readout path here)")
+    ks = []
+    cur = num_valid
+    for _ in range(num_levels):
+        k = max(int(math.ceil(ratio * cur)), 1)
+        k = ((k + n_devices - 1) // n_devices) * n_devices
+        ks.append(k)
+        cur = k
+    return tuple(ks)
 
 
 def init_pooled_params(key, in_features: int, hidden: int, num_classes: int,
@@ -125,6 +144,9 @@ def _forward_local(params, x_local, S_d, R_d, W_d, *, rows_per: int,
         h_full = jax.lax.all_gather(h, axis, tiled=True)
         my_ids = jax.lax.dynamic_slice_in_dim(kept_ids, d * k_per, k_per)
         gate = score[my_ids]
+        # k_total (rounded to a device multiple) can exceed num_valid —
+        # padding picks carry -inf scores whose gate would NaN the backward
+        gate = jnp.where(jnp.isfinite(gate), gate, 0.0)
         xp_local = h_full[my_ids] * gate[:, None]            # [k_per, H]
 
         # ---- coarse connect: relabel this device's edges -----------------
@@ -166,14 +188,7 @@ def make_sharded_pooled_forward(mesh: Mesh, *, rows_per: int, n_pad: int,
     n_devices = mesh.devices.size
     if num_valid is None:
         num_valid = n_pad
-    ks = []
-    cur = num_valid
-    for _ in range(num_levels):
-        k = max(int(math.ceil(ratio * cur)), 1)
-        k = ((k + n_devices - 1) // n_devices) * n_devices
-        ks.append(k)
-        cur = k
-    ks = tuple(ks)
+    ks = level_ks(num_valid, ratio, num_levels, n_devices)
 
     def body(params, x_local, S_d, R_d, W_d):
         return _forward_local(

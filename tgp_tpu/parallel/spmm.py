@@ -134,7 +134,7 @@ def make_ring_halo_spmm(mesh: Mesh, rows_per: int, n_devices: int,
     from jax import shard_map
 
     def body(x_local, S_d, R_d, W_d):
-        x_local = x_local  # [rows_per, F]
+        # x_local: [rows_per, F]
         S_d, R_d, W_d = S_d[0], R_d[0], W_d[0]  # [D, E_local]
 
         def step(k, carry):

@@ -68,7 +68,8 @@ def make_dp_train_step(loss_fn: Callable, tx, mesh: Mesh, axis: str = "dp"):
             return jax.lax.pmean(loss_fn(p, batch, y), axis)
 
         loss, grads = jax.value_and_grad(mean_loss)(params)
-        updates, opt_state = tx.update(grads, opt_state)
+        # pass params so weight-decay optimizers (adamw etc.) work too
+        updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 

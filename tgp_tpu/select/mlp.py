@@ -47,7 +47,10 @@ class MLPSelect(nn.Module):
 
     @nn.compact
     def __call__(self, batch, deterministic: bool = True) -> SelectOutput:
-        ch = ([self.in_channels] if isinstance(self.in_channels, int)
+        # None is fine: flax infers the input width, and channels[0] is only
+        # a documentation slot (single hidden-free MLP = one Dense(k))
+        ch = ([self.in_channels]
+              if self.in_channels is None or isinstance(self.in_channels, int)
               else list(self.in_channels))
         mlp = SelectMLP(channels=ch, k=self.k, act=self.act,
                         dropout=self.dropout)
