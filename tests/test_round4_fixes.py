@@ -241,3 +241,95 @@ def test_precoarsening_passes_y_through():
     assert len(out) == 4
     np.testing.assert_array_equal(out[2], y)
     assert isinstance(out[3], list) and len(out[3]) == 1
+
+
+# ---------------------------------------------------------------- pallas
+def test_banded_vjp_row_ptr_ignores_padding_edges():
+    """-1 padding receivers (sorted last) were clipped into row 0, shifting
+    every CSR row bound; segment-sum drop semantics fixes it."""
+    from tgp_tpu.ops.pallas.segment_spmm import _banded_spmm_vjp
+    rng = np.random.default_rng(0)
+    N, E, F, PAD = 40, 120, 8, 40
+    s = rng.integers(0, N, E)
+    r = np.sort(rng.integers(0, N, E))
+    w = rng.normal(size=E).astype(np.float32)
+    # padding block: receiver -1, zero weight, sorted last
+    s_all = jnp.asarray(np.concatenate([s, np.zeros(PAD, np.int64)]))
+    r_all = jnp.asarray(np.concatenate([r, -np.ones(PAD, np.int64)]))
+    w_all = jnp.asarray(np.concatenate([w, np.zeros(PAD, np.float32)]))
+    x = jnp.asarray(rng.normal(size=(N, F)), jnp.float32)
+    got = _banded_spmm_vjp(x, s_all, r_all, w_all, N, window=128,
+                           interpret=True)
+    want = np.zeros((N, F), np.float32)
+    np.add.at(want, r, np.asarray(x)[s] * w[:, None])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------- maxcut
+def test_maxcut_partial_connect_uses_full_assignment():
+    """assign_all_nodes=False must still CONNECT on the full assignment
+    (reference maxcut.py:200-214): pooled connectivity mediated by
+    non-selected nodes survives."""
+    from tgp_tpu.poolers import get_pooler
+    # path graph 0-1-2-3-4: top-2 keeps two non-adjacent nodes; the partial
+    # subgraph A[kept,kept] has NO edges, the full assignment does
+    x = np.asarray([[3.0], [0.1], [2.0], [0.2], [0.3]], np.float32)
+    ei = np.array([[0, 1, 1, 2, 2, 3, 3, 4],
+                   [1, 0, 2, 1, 3, 2, 4, 3]])
+    b = from_graphs([(x, ei)], pad_nodes=8, pad_edges=16)
+    p = get_pooler("maxcut", in_channels=1, ratio=2,
+                   assign_all_nodes=False, remove_self_loops=True)
+    params = p.init(jax.random.PRNGKey(0), b)
+    out = p.apply(params, b)
+    g = out.graph
+    assert bool(np.asarray(g.edge_mask).any()), (
+        "full-assignment connect must produce pooled edges on a path graph")
+    assert out.so.partial  # the selection itself stays partial
+
+
+def test_asap_dropout_is_applied():
+    from tgp_tpu.poolers import get_pooler
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(10, 4)).astype(np.float32)
+    A = np.triu(rng.random((10, 10)) < 0.5, 1)
+    A = A | A.T
+    s, r = np.nonzero(A)
+    b = from_graphs([(x, np.stack([s, r]))])
+    p = get_pooler("asap", in_channels=4, ratio=0.5, dropout=0.5)
+    params = p.init(jax.random.PRNGKey(0), b)
+    det = p.apply(params, b)
+    stoch = p.apply(params, b, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(1)})
+    assert not np.allclose(np.asarray(det.graph.x),
+                           np.asarray(stoch.graph.x))
+
+
+def test_sep_relocate_self_loops_objective():
+    """Self-loop weight must not drift the structural-entropy objective:
+    the partition of a self-looped graph matches the same graph without
+    self-loops when the loop weights are small."""
+    from tgp_tpu.precoarsen.sep import sep_levels
+    rng = np.random.default_rng(1)
+    n = 20
+    upper = np.triu(rng.random((n, n)) < 0.3, 1)
+    adj = upper | upper.T
+    s, r = np.nonzero(adj)
+    ei = np.stack([s, r])
+    out_plain = sep_levels(ei, n, levels=1)
+    # add tiny self-loops on every node
+    loops = np.arange(n)
+    ei_sl = np.concatenate([ei, np.stack([loops, loops])], 1)
+    w_sl = np.concatenate([np.ones(ei.shape[1]), np.full(n, 1e-6)])
+    out_sl = sep_levels(ei_sl, n, edge_weight=w_sl, levels=1)
+    ci0 = out_plain[0]["cluster_index"]
+    ci1 = out_sl[0]["cluster_index"]
+    # same partition up to relabeling
+    import itertools
+    m = {}
+    same = True
+    for a, c in zip(ci0, ci1):
+        if a in m and m[a] != c:
+            same = False
+            break
+        m[a] = c
+    assert same and len(set(ci0)) == len(set(ci1))

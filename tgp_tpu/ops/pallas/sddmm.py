@@ -85,8 +85,10 @@ def _kernel(a_base_ref, b_base_ref, send_ref, recv_ref, a_hbm, b_hbm,
                 jnp.int32, (window, block_edges), 0)
             iota_b = b_base_ref[c] + jax.lax.broadcasted_iota(
                 jnp.int32, (window, block_edges), 0)
-            oh_a = (send == iota_a).astype(jnp.float32)  # [window, BE]
-            oh_b = (recv == iota_b).astype(jnp.float32)
+            # one-hot in the operand dtype (0/1 exact in bf16 too) so the
+            # MXU sees matching input dtypes; accumulation stays f32
+            oh_a = (send == iota_a).astype(a_win.dtype)  # [window, BE]
+            oh_b = (recv == iota_b).astype(b_win.dtype)
 
             a_rows = jax.lax.dot_general(
                 oh_a, a_win[slot], (((0,), (0,)), ((), ())),
@@ -98,10 +100,12 @@ def _kernel(a_base_ref, b_base_ref, send_ref, recv_ref, a_hbm, b_hbm,
             acc = jnp.where(sub == j, row[None, :], acc)
         out_ref[:] = acc
 
+    # scratch must match the HBM source dtype — a bf16→f32 DMA is an
+    # element-type mismatch at the Mosaic level (same rule as segment_spmm)
     pl.run_scoped(
         body,
-        a_win=pltpu.VMEM((2, window, a_hbm.shape[-1]), jnp.float32),
-        b_win=pltpu.VMEM((2, window, b_hbm.shape[-1]), jnp.float32),
+        a_win=pltpu.VMEM((2, window, a_hbm.shape[-1]), a_hbm.dtype),
+        b_win=pltpu.VMEM((2, window, b_hbm.shape[-1]), b_hbm.dtype),
         sems=pltpu.SemaphoreType.DMA((2, 2)),
     )
 

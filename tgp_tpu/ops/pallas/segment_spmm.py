@@ -525,9 +525,12 @@ def check_band_contract(senders, receivers, edge_mask, num_rows,
 def _banded_spmm_vjp(x, senders_sorted, receivers_sorted, w_sorted,
                      num_rows, window, interpret=False):
     rows_pad = ((num_rows + 127) // 128) * 128
+    # no clip: sort_edges_csr marks padding with receiver −1 (sorted last);
+    # segment_sum DROPS out-of-range ids, while clipping counted padding
+    # into row 0 and shifted every row's [lo, hi) CSR bounds
     counts = jax.ops.segment_sum(
         jnp.ones(receivers_sorted.shape[0], jnp.int32),
-        jnp.clip(receivers_sorted, 0, rows_pad - 1),
+        receivers_sorted,
         num_segments=rows_pad)
     row_ptr = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(counts).astype(jnp.int32)])
@@ -595,10 +598,7 @@ def spmm_sorted(senders_sorted, rids_sorted, row_ptr, edge_weight_sorted, x,
                                      **kw)
 
 
-import functools as _functools
-
-
-@_functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _segment_sum_sorted_vjp(msgs, receivers_sorted, num_rows, interpret):
     # pad to 256 so _auto_blocks can pick the faster 256-row blocks
     rows_pad = ((num_rows + 255) // 256) * 256

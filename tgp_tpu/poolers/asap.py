@@ -55,6 +55,7 @@ class ASAPooling(SRCPooling):
         self.lin = nn.Dense(self.in_channels)
         self.att = nn.Dense(1)
         self.select_scorer = LEConv(1)
+        self.att_dropout = nn.Dropout(self.dropout)
         if self.intra_gnn is None:
             pass
         elif self.intra_gnn == "graph_conv":
@@ -70,7 +71,8 @@ class ASAPooling(SRCPooling):
                 f"intra_gnn must be None|graph_conv|gcn, got {self.intra_gnn!r}")
 
     def __call__(self, batch: GraphBatch, *, so: Optional[SelectOutput] = None,
-                 lifting: bool = False, x: Optional[jax.Array] = None):
+                 lifting: bool = False, x: Optional[jax.Array] = None,
+                 deterministic: bool = True):
         if lifting:
             return self.lift(x if x is not None else batch.x, so)
 
@@ -96,6 +98,10 @@ class ASAPooling(SRCPooling):
         score_e = self.att(jnp.concatenate([x_q[r], x_pool[s]], -1))[:, 0]
         score_e = jax.nn.leaky_relu(score_e, self.negative_slope)
         score_e = segment_softmax(score_e, r, N, mask=em)
+        if self.dropout > 0:
+            # reference applies dropout to the normalized attention
+            # coefficients (asap.py forward, F.dropout(score, training))
+            score_e = self.att_dropout(score_e, deterministic=deterministic)
 
         v = x_in[s] * score_e[:, None]
         x_clustered = jax.ops.segment_sum(

@@ -65,13 +65,27 @@ class MaxCutPooling(SRCPooling):
             return self.lift(x if x is not None else batch.x, so)
         if so is None:
             so = self.selector(batch)
-        loss = {
-            "maxcut_loss": self.loss_coeff * maxcut_loss(
+        # a caller-supplied so (structural caching) may not carry the
+        # selector's scores — the loss needs them, so it is skipped then
+        loss = {}
+        if "scores" in so.extras:
+            loss["maxcut_loss"] = self.loss_coeff * maxcut_loss(
                 so.extras["scores"], batch.senders, batch.receivers,
                 batch.edge_weight, batch.node_graph, batch.num_graphs)
-        }
         x_pool = self.reduce(batch.x, so)
-        edges = self.connect(batch, so, ConnectConfig(
+        # connect is ALWAYS on the full assignment (reference
+        # maxcut.py:200-214 upgrades a partial selection just for connect);
+        # reduce above keeps the partial top-k features
+        conn_so = so
+        if so.partial:
+            from tgp_tpu.ops.assignment import (
+                assign_all_nodes as _assign_all)
+
+            conn_so = _assign_all(
+                so, batch.senders, batch.receivers, batch.edge_mask,
+                max_iter=self.max_iter, node_pos=batch.node_pos,
+                max_nodes=batch.max_nodes, impl=self.mp_impl)
+        edges = self.connect(batch, conn_so, ConnectConfig(
             reduce_op=self.connect_red_op,
             remove_self_loops=self.remove_self_loops,
             degree_norm=self.degree_norm,

@@ -574,29 +574,37 @@ def _relocate_leaves(nodes, root, V, rows, cols, data,
             if dv <= 0:
                 continue
             A = label[v]
+            # self-loop weight never crosses a cluster boundary: keep it in
+            # dv (volume) but OUT of the cut deltas, or every move of a
+            # self-looped node drifts the entropy objective by A_vv
             w_to = {}
+            sl = 0.0
             for u, w in nbrs[v]:
+                if u == v:
+                    sl += w
+                    continue
                 w_to[label[u]] = w_to.get(label[u], 0.0) + w
             w_vA = w_to.get(A, 0.0)
+            dv_x = dv - sl  # boundary-crossing degree
             sv = dv * math.log2(max(dv, 1e-12))
             hA = h_of(vol[A], g[A], S[A])
-            hA2 = h_of(vol[A] - dv, g[A] - dv + 2 * w_vA, S[A] - sv)
+            hA2 = h_of(vol[A] - dv, g[A] - dv_x + 2 * w_vA, S[A] - sv)
             best_b, best_d = None, -1e-12
             for B, w_vB in w_to.items():
                 if B == A:
                     continue
                 hB = h_of(vol[B], g[B], S[B])
-                hB2 = h_of(vol[B] + dv, g[B] + dv - 2 * w_vB, S[B] + sv)
+                hB2 = h_of(vol[B] + dv, g[B] + dv_x - 2 * w_vB, S[B] + sv)
                 d = (hA2 + hB2) - (hA + hB)
                 if d < best_d:
                     best_b, best_d = B, d
             if best_b is not None:
                 B, w_vB = best_b, w_to[best_b]
                 vol[A] -= dv
-                g[A] += -dv + 2 * w_vA
+                g[A] += -dv_x + 2 * w_vA
                 S[A] -= sv
                 vol[B] += dv
-                g[B] += dv - 2 * w_vB
+                g[B] += dv_x - 2 * w_vB
                 S[B] += sv
                 members[A].discard(v)
                 members[B].add(v)
@@ -714,8 +722,11 @@ def sep_levels(edge_index, num_nodes, edge_weight=None, *,
     # (Round-2 used range(1, max_height+1), whose finest layer was the LEAF
     # layer itself — near-singleton clusters; caught by the PartitionTree
     # oracle in tests/test_ref_parity_sep.py.)
+    # a tree of max_height has max_height-1 usable layers; requesting more
+    # levels COLLAPSES to that many (documented + tested contract, matching
+    # the one-tree multi-level rollout) rather than erroring
     depths = list(range(1, max_height))[::-1][:levels]
-    for depth in depths[:levels]:
+    for depth in depths:
         part, k = layer_partition(depth)
         if prev_cluster is None:
             level_assign = part
