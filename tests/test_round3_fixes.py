@@ -143,11 +143,16 @@ def test_dense_budget_boundary_dispatch(small_batch, monkeypatch):
     monkeypatch.setattr(ec, "maximal_matching_dense", spy_dense)
     monkeypatch.setattr(ec, "maximal_matching", spy_sparse)
 
-    monkeypatch.setattr(ec, "_DENSE_BUDGET", size)  # exactly at the budget
+    import tgp_tpu.ops.sparse as sp_ops
+
+    # the dispatch reads ops.sparse.DENSE_VOTE_BUDGET through
+    # use_dense_vote, so that is the knob to patch (ec._DENSE_BUDGET is
+    # only a back-compat re-export)
+    monkeypatch.setattr(sp_ops, "DENSE_VOTE_BUDGET", size)  # exactly at the budget
     m_at = ec.matching(rank, small_batch, impl="auto")
     assert calls[-1] == "dense"
 
-    monkeypatch.setattr(ec, "_DENSE_BUDGET", size - 1)  # one past it
+    monkeypatch.setattr(sp_ops, "DENSE_VOTE_BUDGET", size - 1)  # one past it
     m_past = ec.matching(rank, small_batch, impl="auto")
     assert calls[-1] == "sparse"
 

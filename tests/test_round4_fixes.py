@@ -333,3 +333,99 @@ def test_sep_relocate_self_loops_objective():
             break
         m[a] = c
     assert same and len(set(ci0)) == len(set(ci1))
+
+
+# ------------------------------------------------- final review slice (r4f)
+
+def test_segment_normalize_2d_data_1d_mask():
+    """mask [N] must broadcast against data [N, F] (the passthrough leg
+    previously did jnp.where(mask, out, data) with mismatched ranks)."""
+    from tgp_tpu.ops.segment import segment_normalize
+
+    v = jnp.asarray([[1.0, -2.0], [3.0, 4.0], [5.0, -6.0], [7.0, 8.0]])
+    seg = jnp.asarray([0, 0, 1, 1])
+    mask = jnp.asarray([True, True, True, False])
+    out = np.asarray(segment_normalize(v, seg, 2, mask=mask, ord="max_abs"))
+    # masked-out row passes through unchanged
+    np.testing.assert_allclose(out[3], [7.0, 8.0])
+    # valid rows normalized by per-segment per-column max-abs
+    np.testing.assert_allclose(out[0], [1.0 / 3.0, -2.0 / 4.0], rtol=1e-6)
+    np.testing.assert_allclose(out[2], [1.0, -1.0], rtol=1e-6)
+
+
+def test_precoarsen_graph_hash_distinguishes_edge_weights():
+    from tgp_tpu.utils.checkpoint import PrecoarsenCache
+
+    x = np.ones((4, 3), np.float32)
+    ei = np.array([[0, 1, 2], [1, 2, 3]])
+    h0 = PrecoarsenCache.graph_hash(x, ei)
+    h1 = PrecoarsenCache.graph_hash(x, ei, np.array([1.0, 1.0, 1.0]))
+    h2 = PrecoarsenCache.graph_hash(x, ei, np.array([1.0, 2.0, 3.0]))
+    assert h0 != h1 and h1 != h2
+
+
+def test_precoarsen_cache_corrupt_entry_is_miss(tmp_path):
+    from tgp_tpu.utils.checkpoint import PrecoarsenCache
+
+    cache = PrecoarsenCache(root=tmp_path / "c")
+    config = {"poolers": "graclus", "levels": 1, "kwargs": {}}
+    path = cache._path(config, "deadbeef")
+    path.write_bytes(b"not an npz at all")
+    assert cache.get(config, "deadbeef") is None
+    assert not path.exists()  # poisoned entry evicted, not permanent
+
+
+def test_precoarsen_cache_atomic_put_no_tmp_left(tmp_path):
+    from tgp_tpu.utils.checkpoint import PrecoarsenCache
+
+    cache = PrecoarsenCache(root=tmp_path / "c")
+    config = {"poolers": "graclus", "levels": 1, "kwargs": {}}
+    cache.put(config, "cafebabe", [{"cluster_index": np.arange(3)}])
+    leftovers = [p for p in (tmp_path / "c").iterdir()
+                 if ".tmp" in p.name]
+    assert leftovers == []
+    assert cache.get(config, "cafebabe") is not None
+
+
+def test_precoarsen_cache_tuple_shape_matches_cold_path(tmp_path):
+    """Cached path must return the same tuple shape as transform(g):
+    explicit-None weight slot dropped, labels preserved."""
+    from tgp_tpu.precoarsen import PreCoarsening
+    from tgp_tpu.utils.checkpoint import PrecoarsenCache
+    from tests.utils_graphs import erdos_renyi_graph
+
+    x, ei = erdos_renyi_graph(10, p=0.5, num_features=3, seed=0)[:2]
+    y = np.arange(10) % 2
+    g = (x, ei, None, y)
+    cache = PrecoarsenCache(root=tmp_path / "c")
+    tf = PreCoarsening(poolers="graclus", levels=1)
+    cold = cache.precoarsen_with_cache(tf, [g])[0]
+    warm = cache.precoarsen_with_cache(tf, [g])[0]
+    assert len(cold) == len(warm) == 4  # (x, ei, y, levels)
+    np.testing.assert_array_equal(np.asarray(cold[2]), np.asarray(warm[2]))
+    assert len(cold[-1]) == len(warm[-1]) == 1
+
+
+def test_banded_window_covers_128_row_blocks():
+    """plan_locality_spmm must size the window for the kernel's real
+    128-row blocks even when the caller passes a smaller block_rows —
+    an under-sized window silently drops out-of-window senders."""
+    from tgp_tpu.ops.ordering import locality_spmm, plan_locality_spmm
+
+    n = 200  # path graph: bandwidth 1 after RCM
+    src = np.arange(n - 1)
+    ei = np.stack([np.concatenate([src, src + 1]),
+                   np.concatenate([src + 1, src])])
+    plan = plan_locality_spmm(ei, n, block_rows=8, engine="banded")
+    assert plan["window"] >= 2 * plan["bandwidth"] + 128
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((n, 8)).astype(np.float32)
+    xp = x[plan["perm"]]
+    out = np.asarray(locality_spmm(plan, jnp.asarray(xp), interpret=True))
+    # dense oracle in plan order
+    inv = plan["inv"]
+    ei_new = inv[ei]
+    A = np.zeros((n, n), np.float32)
+    A[ei_new[1], ei_new[0]] = 1.0
+    np.testing.assert_allclose(out, A @ xp, rtol=1e-5, atol=1e-5)

@@ -10,13 +10,9 @@ degree-dependent, so the bias placement is semantically meaningful.)
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
-
-from tgp_tpu.ops.segment import segment_sum
 
 __all__ = ["LEConv"]
 

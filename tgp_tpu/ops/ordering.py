@@ -23,7 +23,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 __all__ = ["rcm_order", "apply_node_order", "band_after_order",
-           "choose_banded_window"]
+           "choose_banded_window", "plan_locality_spmm", "locality_spmm"]
 
 
 def rcm_order(edge_index, num_nodes: int) -> np.ndarray:
@@ -104,8 +104,6 @@ def plan_locality_spmm(edge_index, num_nodes: int, edge_weight=None, *,
     """
     import jax.numpy as jnp
 
-    from tgp_tpu.ops.pallas.segment_spmm import sort_edges_csr
-
     perm = rcm_order(edge_index, num_nodes)
     inv = np.empty_like(perm)
     inv[perm] = np.arange(perm.size)
@@ -113,7 +111,11 @@ def plan_locality_spmm(edge_index, num_nodes: int, edge_weight=None, *,
     w = (np.ones(ei.shape[1], np.float32) if edge_weight is None
          else np.asarray(edge_weight, np.float32))
     bw = band_after_order(np.stack([ei[0], ei[1]]), num_nodes)
-    window = choose_banded_window(bw, block_rows, max_window)
+    # the banded execution path (spmm_banded → banded_sorted_spmm_pallas)
+    # always runs 128-row blocks, so the window MUST be sized for 128 —
+    # sizing it for a smaller block_rows under-covers the block's span and
+    # the kernel silently drops out-of-window senders
+    window = choose_banded_window(bw, max(block_rows, 128), max_window)
 
     order = np.argsort(ei[1], kind="stable")
     s_s, r_s, w_s = ei[0][order], ei[1][order], w[order]

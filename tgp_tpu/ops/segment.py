@@ -27,8 +27,6 @@ __all__ = [
     "segment_topk_rank",
 ]
 
-_NEG_INF = jnp.finfo(jnp.float32).min
-_POS_INF = jnp.finfo(jnp.float32).max
 
 
 def segment_sum(data, segment_ids, num_segments, mask=None, *,
@@ -123,7 +121,9 @@ def segment_normalize(data, segment_ids, num_segments, mask=None, ord: str = "ma
     denom = jnp.where(jnp.abs(denom) > eps, denom, 1.0)
     out = data / denom[segment_ids]
     if mask is not None:
-        out = jnp.where(mask, out, data)
+        bm = (mask if mask.ndim == out.ndim
+              else mask.reshape(mask.shape + (1,) * (out.ndim - mask.ndim)))
+        out = jnp.where(bm, out, data)
     return out
 
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 from pathlib import Path
 from typing import Any, List, Optional, Sequence
 
@@ -55,27 +56,46 @@ class PrecoarsenCache:
         return self.root / f"{_config_key(config)}_{graph_hash}.npz"
 
     @staticmethod
-    def graph_hash(x: np.ndarray, edge_index: np.ndarray) -> str:
+    def graph_hash(x: np.ndarray, edge_index: np.ndarray,
+                   edge_weight: Optional[np.ndarray] = None) -> str:
         h = hashlib.sha256()
         h.update(np.ascontiguousarray(x).tobytes())
         h.update(np.ascontiguousarray(edge_index).tobytes())
+        # weights are part of the identity: graclus matching / Kron damping
+        # depend on them, so same-topology-different-weights graphs must
+        # not collide on one cache entry
+        if edge_weight is not None:
+            h.update(np.ascontiguousarray(edge_weight).tobytes())
         return h.hexdigest()[:16]
 
     def get(self, config, graph_hash: str) -> Optional[List[dict]]:
         path = self._path(config, graph_hash)
         if not path.exists():
             return None
-        data = np.load(path, allow_pickle=True)
-        return list(data["levels"])
+        try:
+            data = np.load(path, allow_pickle=True)
+            return list(data["levels"])
+        except Exception:
+            # a truncated/corrupt entry (interrupted write of an older
+            # version) is a miss, not a permanent poison
+            path.unlink(missing_ok=True)
+            return None
 
     def put(self, config, graph_hash: str, levels: Sequence[dict]) -> None:
         path = self._path(config, graph_hash)
-        np.savez_compressed(path, levels=np.asarray(levels, dtype=object))
+        # atomic publish: never leave a half-written npz at the final name
+        # (the tmp name must keep the .npz suffix — np.savez appends it
+        # otherwise and the rename source would not exist)
+        tmp = path.parent / f"{path.stem}.tmp{os.getpid()}.npz"
+        np.savez_compressed(tmp, levels=np.asarray(levels, dtype=object))
+        os.replace(tmp, path)
 
     def precoarsen_with_cache(self, transform, graphs: Sequence) -> List:
         """Apply a :class:`~tgp_tpu.precoarsen.PreCoarsening` transform with
         caching.  ``transform`` must expose ``poolers``/``levels``/``kwargs``
         for the config key."""
+        from tgp_tpu.data.transforms import split_graph_tuple
+
         config = {
             "poolers": transform.poolers,
             "levels": transform.levels,
@@ -83,10 +103,15 @@ class PrecoarsenCache:
         }
         out = []
         for g in graphs:
-            gh = self.graph_hash(np.asarray(g[0]), np.asarray(g[1]))
+            x, ei, ew, y = split_graph_tuple(g)
+            gh = self.graph_hash(x, ei, ew)
             cached = self.get(config, gh)
             if cached is not None:
-                out.append(tuple(g) + (cached,))
+                # same tuple shape as the cold transform(g) path: the
+                # explicit-None weight slot is dropped there too
+                base = ((x, ei) + ((ew,) if ew is not None else ())
+                        + ((y,) if y is not None else ()))
+                out.append(base + (cached,))
                 continue
             res = transform(g)
             self.put(config, gh, res[-1])
