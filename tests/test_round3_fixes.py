@@ -5,7 +5,7 @@
 - Predictor empty input / growth guard / bucket-count telemetry without
   private jit APIs.
 - KMIS ``random`` scorer draws from the 'sample' PRNG stream when provided.
-- ``_DENSE_BUDGET`` auto-dispatch boundary: which impl is picked exactly at
+- dense-vote budget auto-dispatch boundary: which impl is picked exactly at
   the threshold, and that both impls agree there.
 """
 
@@ -114,7 +114,7 @@ def test_kmis_random_scorer_uses_sample_stream(small_batch):
     np.testing.assert_allclose(np.asarray(so3.weight), np.asarray(so4.weight))
 
 
-# ---- _DENSE_BUDGET boundary --------------------------------------------------
+# ---- dense-vote budget boundary ----------------------------------------------
 
 def test_dense_budget_boundary_dispatch(small_batch, monkeypatch):
     """auto picks dense at B·Nmax² == budget and sparse one element past it,
@@ -146,8 +146,7 @@ def test_dense_budget_boundary_dispatch(small_batch, monkeypatch):
     import tgp_tpu.ops.sparse as sp_ops
 
     # the dispatch reads ops.sparse.DENSE_VOTE_BUDGET through
-    # use_dense_vote, so that is the knob to patch (ec._DENSE_BUDGET is
-    # only a back-compat re-export)
+    # use_dense_vote, so that is the knob to patch
     monkeypatch.setattr(sp_ops, "DENSE_VOTE_BUDGET", size)  # exactly at the budget
     m_at = ec.matching(rank, small_batch, impl="auto")
     assert calls[-1] == "dense"

@@ -503,4 +503,9 @@ class AggrReduce(nn.Module):
             seg, C = so.cluster_index, so.num_clusters
             mask = so.node_sel_mask
             src = x * so.weight[:, None]
+        if mask is None:
+            # mul/median/quantile and every sequence aggregation subscript
+            # the mask directly, so the readout path (so=None) must not
+            # pass None through
+            mask = jnp.ones(x.shape[0], bool)
         return agg(src, seg, C, mask)

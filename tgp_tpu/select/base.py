@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from tgp_tpu.ops.segment import segment_sum, segment_topk_rank
+from tgp_tpu.ops.segment import segment_count, segment_sum, segment_topk_rank
 
 __all__ = ["SelectOutput", "cluster_to_select_output",
            "compact_select_output"]
@@ -107,8 +107,7 @@ class SelectOutput:
             m = self.node_sel_mask
             if m is None:
                 m = self.node_mask
-            ones = jnp.ones(self.cluster_index.shape[0], jnp.int32)
-            cnt = segment_sum(ones, self.cluster_index, self.num_clusters, mask=m)
+            cnt = segment_count(self.cluster_index, self.num_clusters, mask=m)
             return cnt > 0
         if self.s.ndim == 3:
             return self.s.sum(-2) > 0
@@ -123,12 +122,16 @@ class SelectOutput:
         base_select.py:210-232).  Traced boolean scalar."""
         if self.is_sparse:
             return jnp.all(~self.node_mask | self.node_sel_mask)
+        # |s| mass, not signed sum: the dense top-k layout stores signed
+        # score gates in ``s`` (see ``cluster_mask``), so a selected node
+        # with a negative score must still count as participating; soft
+        # assignments are non-negative, so abs() is a no-op there
         if self.s.ndim == 3:
-            row_mass = self.s.sum(-1)
+            row_mass = jnp.abs(self.s).sum(-1)
             m = self.in_mask if self.in_mask is not None else jnp.ones(
                 row_mass.shape, bool)
             return jnp.all(~m | (row_mass > 0))
-        row_mass = self.s.sum(-1)
+        row_mass = jnp.abs(self.s).sum(-1)
         m = self.node_mask if self.node_mask is not None else jnp.ones(
             row_mass.shape, bool)
         return jnp.all(~m | (row_mass > 0))
@@ -185,8 +188,7 @@ def cluster_to_select_output(
         cluster_graph = jnp.maximum(cg, 0).astype(jnp.int32)
 
     # position of each supernode within its graph: rank by supernode id
-    ones = jnp.ones(ci_safe.shape[0], jnp.int32)
-    occupied = segment_sum(ones, ci_safe, num_clusters, mask=node_sel_mask) > 0
+    occupied = segment_count(ci_safe, num_clusters, mask=node_sel_mask) > 0
     cluster_pos = segment_topk_rank(
         -jnp.arange(num_clusters, dtype=jnp.float32), cluster_graph,
         batch.num_graphs, mask=occupied,
@@ -227,8 +229,6 @@ def compact_select_output(so: SelectOutput, budget_per_graph: int
     prints under plain jit) and the overflowing supernodes are masked out.
     """
     assert so.is_sparse, "compact_select_output needs a sparse SelectOutput"
-    from tgp_tpu.ops.segment import segment_topk_rank
-
     C_old = so.num_clusters
     occupied = so.out_mask()
     slot = segment_topk_rank(

@@ -23,7 +23,6 @@ from tgp_tpu.select.base import SelectOutput
 __all__ = ["maximal_matching", "maximal_matching_dense", "matching",
            "EdgeContractionSelect"]
 
-from tgp_tpu.ops.sparse import DENSE_VOTE_BUDGET as _DENSE_BUDGET  # noqa: F401
 from tgp_tpu.ops.sparse import use_dense_vote
 
 
@@ -137,6 +136,12 @@ class EdgeContractionSelect(nn.Module):
     def __call__(self, batch: GraphBatch,
                  deterministic: bool = True) -> SelectOutput:
         N, E = batch.num_nodes, batch.num_edges
+        if self.in_channels and batch.x.shape[-1] != self.in_channels:
+            raise ValueError(
+                f"EdgeContractionSelect: in_channels={self.in_channels} but "
+                f"features have width {batch.x.shape[-1]} (the edge scorer "
+                "infers its width, so in_channels is a declared contract — "
+                "pass 0 to skip the check)")
         s, r, em = batch.senders, batch.receivers, batch.edge_mask
         e = jnp.concatenate([batch.x[s], batch.x[r]], axis=-1)
         e = nn.Dense(1, name="lin")(e)[:, 0]

@@ -28,6 +28,13 @@ from tgp_tpu.select.base import SelectOutput
 __all__ = ["lapool_select", "shortest_path_weights"]
 
 
+def _safe_norm(x, eps: float = 1e-24):
+    """L2 norm over the last axis (kept dim) with finite gradients at 0 —
+    ``jnp.linalg.norm`` backpropagates 0/0 = NaN for all-zero rows (padded
+    nodes, invalid leader slots)."""
+    return jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True) + eps)
+
+
 def lapool_select(batch: GraphBatch, *, shortest_path_reg: bool = False,
                   sp_weight=None, s_inv_op: str = "transpose"
                   ) -> SelectOutput:
@@ -50,7 +57,7 @@ def lapool_select(batch: GraphBatch, *, shortest_path_reg: bool = False,
     deg = weighted_degree(s, jnp.where(em, w, 0.0), N)
     ax = spmm(r, s, jnp.where(em, w, 0.0), x, N)  # (A X)_i over senders
     lx = deg[:, None] * x - ax
-    v = jnp.linalg.norm(lx, axis=-1)
+    v = _safe_norm(lx)[..., 0]
 
     # local maximum over incident edges — NON-strict ``>=`` like the
     # reference (lapool_select.py:_forward_batched ``v_norm >= neighbor_max``)
@@ -72,15 +79,22 @@ def lapool_select(batch: GraphBatch, *, shortest_path_reg: bool = False,
     slot_valid = jnp.zeros((B, Kmax), bool).at[
         batch.node_graph, slot].max(leader)
 
-    # cosine similarity to own graph's leaders
-    xn = x / jnp.clip(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12, None)
-    ln = x_lead / jnp.clip(
-        jnp.linalg.norm(x_lead, axis=-1, keepdims=True), 1e-12, None)
+    # cosine similarity to own graph's leaders (safe norms: padded rows and
+    # invalid leader slots are all-zero, and d‖x‖/dx at 0 is 0/0 = NaN even
+    # when the forward value is clipped away)
+    xn = x / _safe_norm(x)
+    ln = x_lead / _safe_norm(x_lead)
     cos = jnp.einsum("nf,nkf->nk", xn, ln[batch.node_graph])  # [N, Kmax]
     valid_cols = slot_valid[batch.node_graph]
-    cos = jnp.where(valid_cols, cos, -jnp.inf)
-    soft = jax.nn.softmax(cos, axis=-1)
-    soft = jnp.where(valid_cols, soft, 0.0)
+    # NaN-safe masked softmax: a row whose graph has zero leaders (e.g. an
+    # empty padded graph) must yield all-zero weights with defined gradients
+    # — softmax over an all-(-inf) row is NaN and poisons the backward pass
+    # even when the forward value is re-masked afterwards
+    logits = jnp.where(valid_cols, cos, jnp.finfo(x.dtype).min)
+    logits = logits - jax.lax.stop_gradient(
+        jnp.max(logits, axis=-1, keepdims=True))
+    e = jnp.where(valid_cols, jnp.exp(logits), 0.0)
+    soft = e / jnp.clip(jnp.sum(e, axis=-1, keepdims=True), 1e-20, None)
     if sp_weight is not None:
         # β multiplies the softmax output (reference: ``s = beta * s``,
         # lapool_select.py:_forward_batched), NOT the logits

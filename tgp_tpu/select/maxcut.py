@@ -56,7 +56,10 @@ class MaxCutScoreNet(nn.Module):
             impl = ("dense" if use_dense_vote(
                 batch.num_graphs, batch.max_nodes) else "sparse")
         a_mp = resolve_activation(self.mp_act)
-        x = nn.Dense(self.in_channels)(batch.x)
+        # in_channels=0 (the "infer" default) must fall back to the input
+        # width — Dense(features=0) silently produces a [N, 0] tensor and
+        # every later layer emits bias-only constant scores
+        x = nn.Dense(self.in_channels or batch.x.shape[-1])(batch.x)
         if impl == "dense":
             B, Nm = batch.num_graphs, batch.max_nodes
             ng, np_ = batch.node_graph, batch.node_pos
