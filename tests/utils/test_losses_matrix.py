@@ -304,9 +304,11 @@ def test_totvar_analytic():
 
 
 def test_link_pred_normalization_semantics(fixtures):
-    """Batched normalizes by the padded adjacency size (reference
-    losses.py:644-679 divides by adj.numel()); the sparse twin by Σ n_g²
-    (mask-aware).  Both scale the same unnormalized Frobenius norm."""
+    """With a mask, BOTH twins normalize by the valid-entry count Σ n_g²
+    (padding-invariant; the reference's dense loss divides by adj.numel()
+    including padding, losses.py:676-679, inconsistent with its own sparse
+    twin :771-777 — see link_pred_loss docstring).  Without a mask the
+    batched loss keeps the reference's adj.size normalizer."""
     b, d, Sf, Sd = fixtures["base"]
     raw = float(L.link_pred_loss(Sd, d.adj, normalize_loss=False,
                                  mask=d.mask))
@@ -315,10 +317,14 @@ def test_link_pred_normalization_semantics(fixtures):
     sparse = float(L.sparse_link_pred_loss(
         Sf, b.senders, b.receivers, b.edge_weight, b.node_graph,
         b.num_graphs, b.node_mask, normalize_loss=True))
-    assert batched == pytest.approx(raw / d.adj.size, rel=1e-5)
     n_g = np.bincount(np.asarray(b.node_graph)[np.asarray(b.node_mask)],
                       minlength=b.num_graphs).astype(np.float64)
-    assert sparse == pytest.approx(raw / (n_g ** 2).sum(), rel=2e-3)
+    assert batched == pytest.approx(raw / (n_g ** 2).sum(), rel=1e-5)
+    assert sparse == pytest.approx(batched, rel=2e-3)
+    # maskless batched path: reference adj.numel() semantics
+    nomask = float(L.link_pred_loss(Sd, d.adj, normalize_loss=True))
+    raw_nomask = float(L.link_pred_loss(Sd, d.adj, normalize_loss=False))
+    assert nomask == pytest.approx(raw_nomask / d.adj.size, rel=1e-5)
 
 
 def test_just_balance_unnormalized(fixtures):

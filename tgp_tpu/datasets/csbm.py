@@ -50,6 +50,15 @@ class CSBMDataset:
                 sp.csr_matrix(adj), directed=False, return_labels=False)
             if ncomp == 1:
                 break
+        else:
+            # the reference retries with the same contract
+            # (tgp/datasets/csbm.py connectivity retry); returning the last
+            # disconnected draw would violate require_connected invisibly
+            raise RuntimeError(
+                f"CSBM stayed disconnected after {self.max_retries} draws "
+                f"(n={n}, p_in={self.p_in}, p_out={self.p_out}); raise the "
+                "edge probabilities / max_retries or pass "
+                "require_connected=False")
         s, r = np.nonzero(adj)
         ei = np.stack([s, r]) if s.size else np.array([[0], [0]])
         # community-conditioned GMM features

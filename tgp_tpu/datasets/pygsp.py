@@ -153,7 +153,12 @@ def _barabasi_albert(n, rng, m=2):
 
 def _random_regular(n, rng, k=4):
     """Pairing-model k-regular graph (retry until simple)."""
-    for _ in range(100):
+    if (n * k) % 2 != 0:
+        raise ValueError(
+            f"k-regular graph needs n·k even, got n={n}, k={k}")
+    if k >= n:
+        raise ValueError(f"k-regular graph needs k < n, got n={n}, k={k}")
+    for _ in range(200):
         stubs = np.repeat(np.arange(n), k)
         rng.shuffle(stubs)
         pairs = stubs.reshape(-1, 2)
@@ -164,6 +169,12 @@ def _random_regular(n, rng, k=4):
         W = np.maximum(W, W.T)
         if (W.sum(1) == k).all():
             break
+    else:
+        # falling through would return a duplicate-collapsed graph with
+        # degrees < k — the advertised regularity, violated silently
+        raise RuntimeError(
+            f"pairing model failed to produce a simple {k}-regular graph "
+            f"on {n} nodes after 200 attempts")
     t = 2 * np.pi * np.arange(n) / n
     return W, np.stack([np.cos(t), np.sin(t)], 1), None
 

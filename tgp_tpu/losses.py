@@ -172,9 +172,11 @@ def hosc_orthogonality_loss(S, mask=None, batch_reduction="mean"):
         return _batch_reduce(jnp.zeros(B, S.dtype), batch_reduction)
     norm = jnp.sqrt(jnp.sum(S * S, axis=-2) + 0.0).sum(-1)
     sqrt_k = math.sqrt(K)
+    # clamp like the unbatched twin (maximum(n_g, 1)): an all-masked row
+    # would otherwise contribute 0/0 = NaN to the batch mean
     sqrt_nodes = (
-        jnp.sqrt(mask.sum(1).astype(S.dtype)) if mask is not None
-        else math.sqrt(num_nodes)
+        jnp.sqrt(jnp.maximum(mask.sum(1).astype(S.dtype), 1.0))
+        if mask is not None else math.sqrt(num_nodes)
     )
     return _batch_reduce((sqrt_k - norm / sqrt_nodes) / (sqrt_k - 1), batch_reduction)
 
@@ -200,7 +202,16 @@ def unbatched_hosc_orthogonality_loss(S, node_graph, num_graphs, node_mask=None,
 
 def link_pred_loss(S, adj, normalize_loss=True, mask=None):
     """Global Frobenius norm ‖A − SSᵀ‖_F over the whole batch, optionally
-    normalized by the number of adjacency entries."""
+    normalized by the number of adjacency entries.
+
+    With a ``mask`` the normalizer is the number of VALID entries
+    ``Σ_g n_g²`` — same as :func:`sparse_link_pred_loss` — so the twins
+    return the same scalar on padded batches.  (The reference divides its
+    dense loss by ``adj.numel()`` including padding, tgp/utils/losses.py:
+    676-679, while its own sparse twin uses ``Σ n_g²``, :771-777 — an
+    inconsistency its tests never hit because they use equal-size graphs;
+    the mask-native normalizer is also padding-invariant, which the padded
+    TPU layout requires.)"""
     ss = jnp.einsum("bnk,bmk->bnm", S, S)
     diff = adj - ss
     if mask is not None:
@@ -208,7 +219,11 @@ def link_pred_loss(S, adj, normalize_loss=True, mask=None):
         diff = diff * m[:, :, None] * m[:, None, :]
     loss = jnp.sqrt(jnp.sum(diff * diff) + 0.0)
     if normalize_loss:
-        loss = loss / adj.size
+        if mask is not None:
+            n_g = jnp.sum(mask.astype(S.dtype), axis=-1)
+            loss = loss / jnp.maximum(jnp.sum(n_g * n_g), 1.0)
+        else:
+            loss = loss / adj.size
     return loss
 
 
@@ -260,7 +275,12 @@ def entropy_loss(S, num_nodes=None, mask=None):
 def totvar_loss(S, adj, batch_reduction="mean"):
     """Σ_ij a_ij |S_i − S_j|₁ / (2·E_g) per graph.  Dense masked contraction —
     zero adjacency entries contribute zero, so no dynamic edge extraction is
-    needed (reference extracts nonzeros, losses.py:780-862)."""
+    needed (reference extracts nonzeros, losses.py:780-862).
+
+    The ``[B,N,N,K]`` broadcast below is notation, not memory: XLA fuses the
+    abs-diff into the reduction (measured on v5e at B=16, N=1024, K=16 —
+    grad-path temp = 67 MB ≈ one [B,N,N] buffer, not the 1.07 GB 4-D
+    tensor), so no K-loop restructuring is needed."""
     l1 = jnp.sum(jnp.abs(S[:, :, None, :] - S[:, None, :, :]), axis=-1)
     loss = jnp.sum(adj * l1, axis=(-2, -1))
     n_edges = jnp.sum(adj != 0, axis=(-2, -1)).astype(S.dtype)
@@ -363,7 +383,10 @@ def just_balance_loss(S, mask=None, normalize_loss=True, batch_reduction="mean")
         if mask is None:
             denom = math.sqrt(S.shape[-2] * K)
         else:
-            denom = jnp.sqrt(mask.sum(-1).astype(S.dtype) * K)
+            # maximum(·, 1) like the unbatched twin: an all-masked row
+            # must not divide by zero (−inf through the batch mean)
+            denom = jnp.sqrt(jnp.maximum(
+                mask.sum(-1).astype(S.dtype) * K, 1.0))
         loss = loss / denom
     return _batch_reduce(loss, batch_reduction)
 

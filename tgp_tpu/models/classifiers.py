@@ -85,7 +85,8 @@ class PoolingClassifier(nn.Module):
             pooled = out.graph
             h = pooled.x
             for i in range(self.num_post_layers):
-                h = nn.relu(Conv(self.hidden, name=f"post_conv_{i}")(pooled, h))
+                h = nn.relu(Conv(self.hidden, use_pallas=self.use_pallas,
+                                 name=f"post_conv_{i}")(pooled, h))
             z = global_reduce(
                 h, node_graph=pooled.node_graph, num_graphs=pooled.num_graphs,
                 node_mask=pooled.node_mask, op=self.readout,
@@ -97,6 +98,7 @@ class PoolingClassifier(nn.Module):
                 h = nn.relu(Conv(self.hidden,
                                  mask_output=not self.fast_masks,
                                  dtype=self.compute_dtype,
+                                 use_pallas=self.use_pallas,
                                  name=f"post_conv_{i}")(pooled, h))
             z = global_reduce(h.astype(jnp.float32), mask=pooled.mask,
                               op=self.readout)

@@ -64,6 +64,7 @@ class Predictor:
         self.edge_base = int(edge_base)
         self.sort_edges = sort_edges
         self._seen_buckets: set = set()
+        self._out_tail: tuple = ()  # trailing output dims, learned on first call
 
     @property
     def num_compiled(self) -> int:
@@ -87,7 +88,10 @@ class Predictor:
     def __call__(self, graphs: Sequence) -> np.ndarray:
         B = self.batch_size
         if len(graphs) == 0:
-            return np.empty((0,), dtype=np.float32)
+            # keep the rank consistent with non-empty calls ([n, C]) so
+            # np.concatenate over serving chunks never trips on an
+            # empty chunk; before any call the width is unknown -> (0,)
+            return np.empty((0,) + self._out_tail, dtype=np.float32)
         outs = []
         for start in range(0, len(graphs), B):
             chunk = list(graphs[start : start + B])
@@ -100,5 +104,6 @@ class Predictor:
             batch = from_graphs(chunk, pad_nodes=pn, pad_edges=pe,
                                 max_nodes=mx, sort_edges=self.sort_edges)
             out = np.asarray(self._apply(self._params, batch))
+            self._out_tail = tuple(out.shape[1:])
             outs.append(out[:n_valid])
         return np.concatenate(outs, axis=0)

@@ -75,7 +75,7 @@ def prepare_batch(
     if isinstance(batch, DenseGraphBatch):
         if not dense_ok:
             raise ValueError(
-                f"{type(pooler).__name__} cannot consume a DenseGraphBatch "
+                f"{cls.__name__} cannot consume a DenseGraphBatch "
                 "(ACCEPTS_DENSE_BATCH is False) — collate a sparse "
                 "GraphBatch instead")
         dense = batch
@@ -87,7 +87,7 @@ def prepare_batch(
             go = bool(densify)
             if go and not dense_ok:
                 raise ValueError(
-                    f"densify=True but {type(pooler).__name__} cannot "
+                    f"densify=True but {cls.__name__} cannot "
                     "consume a DenseGraphBatch (ACCEPTS_DENSE_BATCH is "
                     "False)")
         if not go:

@@ -59,13 +59,20 @@ class PrecoarsenCache:
     def graph_hash(x: np.ndarray, edge_index: np.ndarray,
                    edge_weight: Optional[np.ndarray] = None) -> str:
         h = hashlib.sha256()
-        h.update(np.ascontiguousarray(x).tobytes())
-        h.update(np.ascontiguousarray(edge_index).tobytes())
+        # shape+dtype headers disambiguate raw byte streams: without them a
+        # [4,2] and a [2,4] feature matrix (or an x/edge_index boundary
+        # shift) hash identically and serve the wrong cached coarsening
+        for arr in (x, edge_index):
+            a = np.ascontiguousarray(arr)
+            h.update(repr((a.shape, a.dtype.str)).encode())
+            h.update(a.tobytes())
         # weights are part of the identity: graclus matching / Kron damping
         # depend on them, so same-topology-different-weights graphs must
         # not collide on one cache entry
         if edge_weight is not None:
-            h.update(np.ascontiguousarray(edge_weight).tobytes())
+            a = np.ascontiguousarray(edge_weight)
+            h.update(repr((a.shape, a.dtype.str)).encode())
+            h.update(a.tobytes())
         return h.hexdigest()[:16]
 
     def get(self, config, graph_hash: str) -> Optional[List[dict]]:
