@@ -75,11 +75,17 @@ def main(aggr: str = "mean", epochs: int = 12, verbose: bool = True):
     def infer(params, batch):
         return model.apply(params, batch)
 
-    correct = []
-    for batch, y in test:
+    # short batches are padded by cycling graphs — count each test graph
+    # exactly once (same dedup as examples/classification.py)
+    correct, seen = [], set()
+    for batch, y, idx in test._iter_with_indices():
         pred = np.argmax(np.asarray(infer(params, batch)), -1)
-        correct.append(pred == y)
-    acc = float(np.mean(np.concatenate(correct)))
+        ok = pred == y
+        for j, i in enumerate(idx):
+            if int(i) not in seen:
+                seen.add(int(i))
+                correct.append(ok[j])
+    acc = float(np.mean(correct))
     if verbose:
         print(f"[aggr={aggr}] test acc {acc:.3f} ({time.time()-t0:.1f}s)")
     return acc

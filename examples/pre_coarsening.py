@@ -100,11 +100,16 @@ def main(schedule: str = "graclus", epochs: int = 15, verbose: bool = True):
     def infer(params, batch, lbs):
         return model.apply(params, batch, lbs)
 
-    correct = []
-    for batch, lbs, y in test:
+    # short batches cycle graphs — count each test graph exactly once
+    correct, seen = [], set()
+    for batch, lbs, y, idx in test._iter_with_indices():
         pred = np.argmax(np.asarray(infer(params, batch, lbs)), -1)
-        correct.append(pred == y)
-    acc = float(np.mean(np.concatenate(correct)))
+        ok = pred == y
+        for j, i in enumerate(idx):
+            if int(i) not in seen:
+                seen.add(int(i))
+                correct.append(ok[j])
+    acc = float(np.mean(correct))
     if verbose:
         print(f"[{schedule}] precoarsened test acc {acc:.3f}")
     return acc

@@ -82,7 +82,7 @@ def write_gcb():
         out[f"{key}_feat"] = obj_array(feats)
         out[f"{key}_adj"] = obj_array(adjs)
         out[f"{key}_class"] = np.array(classes)
-    np.savez(d / "easy_small.npz", **out, allow_pickle=True)
+    np.savez(d / "easy_small.npz", **out)
     print(f"wrote {d / 'easy_small.npz'}")
 
 
@@ -101,7 +101,7 @@ def write_expwl1():
     np.savez(d / "expwl1.npz",
              x=obj_array(xs),
              edge_index=obj_array(eis),
-             y=np.asarray(ys), allow_pickle=True)
+             y=np.asarray(ys))
     print(f"wrote {d / 'expwl1.npz'}")
 
 

@@ -94,8 +94,13 @@ def main():
     twins = False
     if args.data_dir:
         root = Path(args.data_dir)
+        # accept a path pointing AT a single dataset dir by stepping up to
+        # its parent — the TU loader needs the root/NAME/NAME_A.txt layout
+        if root.name in args.datasets and (
+                root / f"{root.name}_A.txt").exists():
+            root = root.parent
         missing = [d for d in args.datasets
-                   if not (root / d).is_dir() and not root.name == d]
+                   if not (root / d / f"{d}_A.txt").exists()]
         if missing:
             print(f"ERROR: dataset dirs not found under {root}: {missing}\n"
                   "Mount the TU directories (e.g. PROTEINS/PROTEINS_A.txt "

@@ -149,3 +149,31 @@ def test_supported_list_and_rejection():
     batched = get_pooler("mincut", in_channels=6, k=4)
     with pytest.raises(AssertionError):
         make_sharded_dense_pool_step(batched, mesh, rows_per=8, axis="n")
+
+
+def test_sharded_dropout_training_mode():
+    """deterministic=False plumbs selector dropout: the step takes a
+    leading rng, different keys give different assignments, same key is
+    reproducible (review: dropout was silently disabled in the sharded
+    step with no way to enable it)."""
+    if len(jax.devices()) < N_DEV:
+        pytest.skip("needs 8 virtual devices")
+    n, e = 48, 160
+    x, s, r, w = _random_graph(n, e, seed=13)
+    # dropout applies between HIDDEN layers, so give the MLP one
+    pooler = get_pooler("mincut", in_channels=[6, 8], k=4, batched=False,
+                        dropout=0.5)
+    (x_pad, mask, S, R, W, n_pad,
+     rows_per) = prepare_sharded_dense_graph(x, s, r, w, n, N_DEV)
+    params, _ = _single_device_reference(pooler, n, x, s, r, w, n_pad)
+    mesh = make_mesh(N_DEV, axis="n")
+    step = make_sharded_dense_pool_step(pooler, mesh, rows_per, axis="n",
+                                        deterministic=False)
+    with mesh:
+        args = device_put_sharded_dense(mesh, x_pad, mask, S, R, W,
+                                        axis="n")
+        xa, _, la = step(jax.random.PRNGKey(0), params, *args)
+        xb, _, lb = step(jax.random.PRNGKey(0), params, *args)
+        xc, _, lc = step(jax.random.PRNGKey(7), params, *args)
+    np.testing.assert_allclose(np.asarray(xa), np.asarray(xb))
+    assert not np.allclose(np.asarray(xa), np.asarray(xc))

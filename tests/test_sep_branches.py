@@ -110,3 +110,45 @@ def test_all_isolated_graph():
     ei = np.zeros((2, 0), np.int64)
     nodes, root = sep_coding_tree(ei, 4, use_native=False)
     _entropy_and_validity(nodes, root, 4)
+
+
+def test_native_python_tree_parity_fuzz():
+    """The C++ merge phase must produce the SAME tree as the Python heap —
+    exact-tie merge deltas must resolve identically (the build pins
+    -ffp-contract=off; FMA contraction made tied deltas differ by 1 ulp
+    and flipped tie-breaks)."""
+    import json
+
+    import numpy as np
+
+    from tgp_tpu.precoarsen.sep import sep_coding_tree
+
+    def norm(tree):
+        nodes, root = tree
+        out = {}
+        for k, n in sorted(nodes.items()):
+            out[k] = dict(id=n.id, children=sorted(n.children),
+                          parent=n.parent, vol=round(n.vol, 9),
+                          cut=round(n.cut, 9), leaves=sorted(n.leaves))
+        return json.dumps({"root": root, "nodes": out})
+
+    try:
+        from tgp_tpu._native import native_sep_merge  # noqa: F401
+    except Exception:
+        import pytest
+        pytest.skip("native toolchain unavailable")
+
+    rng = np.random.default_rng(5)
+    tried = 0
+    for _ in range(20):
+        n = int(rng.integers(8, 24))
+        upper = np.triu(rng.random((n, n)) < 0.3, 1)
+        A = upper | upper.T
+        s, r = np.nonzero(A)
+        if s.size == 0:
+            continue
+        tried += 1
+        ei = np.stack([s, r])
+        assert norm(sep_coding_tree(ei, n, use_native=False)) == \
+            norm(sep_coding_tree(ei, n, use_native=True))
+    assert tried > 10

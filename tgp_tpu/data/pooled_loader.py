@@ -272,6 +272,13 @@ class PooledGraphLoader:
         return len(self.base_loader)
 
     def __iter__(self):
+        for out in self._iter_with_indices():
+            yield out[:-1]
+
+    def _iter_with_indices(self):
+        """Like ``__iter__`` but also yields the source-graph indices of the
+        batch — short batches are padded by cycling, so accuracy loops must
+        dedup on these (same contract as ``GraphLoader._iter_with_indices``)."""
         order_iter = self.base_loader._iter_with_indices()
         for batch, y, idx in order_iter:
             level_batches = []
@@ -290,6 +297,6 @@ class PooledGraphLoader:
                 prev_off = np.concatenate([[0], np.cumsum(k_per)[:-1]])
                 prev_pad = pad_c
             if y is not None:
-                yield batch, level_batches, y
+                yield batch, level_batches, y, idx
             else:
-                yield batch, level_batches
+                yield batch, level_batches, idx

@@ -95,13 +95,19 @@ def _local_view(x_loc, m_loc, rows_per: int) -> GraphBatch:
 
 
 def make_sharded_dense_pool_step(pooler, mesh: Mesh, rows_per: int,
-                                 axis: str = "n"):
+                                 axis: str = "n", *,
+                                 deterministic: bool = True):
     """Build the jitted sharded dense-pooling forward for ``pooler`` (an
     unbatched ``batched=False`` MinCut/DiffPool instance).
 
     Returns ``fn(params, x_pad, mask, S, R, W) -> (x_pool [K,F],
     adj_pool [K,K] postprocessed, loss dict)`` with ``x_pad/mask/S/R/W``
     node-sharded over ``axis`` and the outputs replicated.
+
+    ``deterministic=False`` enables selector dropout for training: the
+    returned fn then takes a leading PRNG key
+    (``fn(rng, params, x_pad, ...)``), folded with the shard index so each
+    node shard draws independent dropout masks.
     """
     from jax import shard_map
 
@@ -121,13 +127,17 @@ def make_sharded_dense_pool_step(pooler, mesh: Mesh, rows_per: int,
         "path is the distributed twin of the unbatched dense forward")
 
     def _select(mdl, b):
-        return mdl.selector(b, True)
+        return mdl.selector(b, deterministic)
 
-    def body(params, x_loc, m_loc, s_d, r_d, w_d):
+    def body(rng, params, x_loc, m_loc, s_d, r_d, w_d):
         s_d, r_d, w_d = s_d[0], r_d[0], w_d[0]
 
         lb = _local_view(x_loc, m_loc, rows_per)
-        so_loc = pooler.apply(params, lb, method=_select)
+        rngs = None
+        if not deterministic:
+            rngs = {"dropout": jax.random.fold_in(
+                rng, jax.lax.axis_index(axis))}
+        so_loc = pooler.apply(params, lb, method=_select, rngs=rngs)
         s_loc = so_loc.s  # [rows_per, K], zero on padding rows
 
         # global primitives ------------------------------------------------
@@ -190,10 +200,17 @@ def make_sharded_dense_pool_step(pooler, mesh: Mesh, rows_per: int,
 
     smapped = shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
         out_specs=(P(), P(), P()),
     )
-    return jax.jit(smapped)
+    jitted = jax.jit(smapped)
+    if deterministic:
+        # keep the documented (params, x, mask, S, R, W) signature; the
+        # rng slot is unused in the deterministic forward
+        _dummy = jax.random.PRNGKey(0)
+        return jax.jit(lambda params, x, m, s, r, w: smapped(
+            _dummy, params, x, m, s, r, w))
+    return jitted
 
 
 def device_put_sharded_dense(mesh: Mesh, x_pad, mask, S, R, W,

@@ -80,8 +80,13 @@ def make_hybrid_mesh(n_groups: int, per_group: int,
     if jax.process_count() > 1:
         from jax.experimental import mesh_utils
 
+        # slice to the requested sub-topology like the single-host branch:
+        # create_hybrid_device_mesh requires len(devices) == product of the
+        # mesh shapes, so passing the full device list breaks any request
+        # smaller than the whole pod
         arr = np.asarray(mesh_utils.create_hybrid_device_mesh(
-            (per_group,), (n_groups,), devices=devs)).reshape(
+            (per_group,), (n_groups,),
+            devices=devs[: n_groups * per_group])).reshape(
                 n_groups, per_group)
     else:
         arr = np.asarray(devs[: n_groups * per_group]).reshape(

@@ -74,11 +74,15 @@ def measure_pooled_scaling(
                 jax.device_put(S, shard), jax.device_put(R, shard),
                 jax.device_put(W, shard))
         logits, _ = fwd(*args)  # compile
-        jax.block_until_ready(logits)
+        float(jnp.sum(logits))  # device-to-host sync (see note below)
         t0 = time.perf_counter()
         for _ in range(iters):
             logits, h = fwd(*args)
-        jax.block_until_ready(logits)
+        # sync via a host transfer, NOT block_until_ready: on the axon TPU
+        # backend block_until_ready returns at dispatch, so timings would
+        # measure queueing only (same workaround as scripts/bench_kernels.py
+        # and examples/time_and_mem_test.py)
+        float(jnp.sum(logits))
         dt = (time.perf_counter() - t0) / iters
         eps = n_edges / dt
         if base is None:
