@@ -207,10 +207,10 @@ def bench_jax_default(graphs, labels):
 
     batch = from_graphs(graphs)
     n_edges = int(np.asarray(batch.edge_mask).sum())
-    dense = prepare_batch(batch, normalize=True)  # auto regime dispatch
-    y = jnp.asarray(labels)
-
     pooler = get_pooler("topk", in_channels=HIDDEN, ratio=0.5)
+    # auto regime dispatch — pooler-aware (pooler=None never densifies)
+    dense = prepare_batch(batch, pooler=pooler, normalize=True)
+    y = jnp.asarray(labels)
     model = PoolingClassifier(pooler=pooler, num_classes=3, hidden=HIDDEN,
                               pre_normalized=True)
     params = model.init(jax.random.key(0), dense)

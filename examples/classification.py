@@ -26,8 +26,15 @@ import optax
 
 from tgp_tpu.data.loaders import GraphLoader
 from tgp_tpu.datasets.synthetic import SyntheticGraphClassification
+from tgp_tpu.graph import DenseGraphBatch
 from tgp_tpu.models.classifiers import PoolingClassifier
+from tgp_tpu.models.prepare import prepare_batch
 from tgp_tpu.poolers import get_pooler
+
+
+#: which pipeline the last `main()` run took ("dense" | "sparse") — set by
+#: the prepare_batch regime dispatch, asserted by the smoke test
+LAST_ROUTE = None
 
 
 def load_dataset(dataset: str, data_dir: str | None):
@@ -85,10 +92,33 @@ def main(alias: str = "topk", epochs: int = 20, batch_size: int = 32,
                               max_nodes=max_nodes)
 
     pooler = get_pooler(alias, in_channels=hidden, ratio=0.5, k=16)
-    model = PoolingClassifier(pooler=pooler, num_classes=num_classes,
-                              hidden=hidden)
+
+    # model-level regime dispatch (tgp_tpu/models/prepare.py): densify a
+    # batch ONCE on the way into the jitted step when the measured regime
+    # map says the scatter-free dense pipeline wins for this pooler at
+    # this (B, Nmax) — at the flagship shape this is ~90× faster than the
+    # sparse scatter pipeline; sparse-only poolers pass through unchanged.
+    # GCN-pre-normalization is applied only for score-based poolers (topk):
+    # the dense cluster family computes its losses on the RAW adjacency
+    # (reference semantics), so its batches keep A and the MP layers
+    # normalize internally.
+    from tgp_tpu.src import DenseSRCPooling
+
+    norm_ok = not isinstance(pooler, DenseSRCPooling)
+
+    def prep(b):
+        return prepare_batch(b, pooler=pooler, normalize=norm_ok)
 
     batch0, y0 = next(iter(train_loader))
+    batch0 = prep(batch0)
+    dense_route = isinstance(batch0, DenseGraphBatch)
+    global LAST_ROUTE  # test probe (tests/test_examples_smoke.py)
+    LAST_ROUTE = "dense" if dense_route else "sparse"
+    model = PoolingClassifier(pooler=pooler, num_classes=num_classes,
+                              hidden=hidden,
+                              pre_normalized=dense_route and norm_ok)
+    if verbose:
+        print(f"[{alias}] pipeline: {LAST_ROUTE}")
     # stochastic poolers (BNPool's reparameterized Beta sampling) draw from
     # a "sample" PRNG stream — thread it like the reference threads
     # torch.Generator state
@@ -128,7 +158,7 @@ def main(alias: str = "topk", epochs: int = 20, batch_size: int = 32,
         for batch, y in train_loader:
             key, sub = jax.random.split(key)
             params, opt_state, loss, acc = train_step(
-                params, opt_state, batch, jnp.asarray(y), sub)
+                params, opt_state, prep(batch), jnp.asarray(y), sub)
             losses.append(float(loss))
             accs.append(float(acc))
         if verbose:
@@ -138,7 +168,7 @@ def main(alias: str = "topk", epochs: int = 20, batch_size: int = 32,
     correct, seen = [], set()
     for batch, y, idx in test_loader._iter_with_indices():
         key, sub = jax.random.split(key)
-        ok = np.asarray(eval_step(params, batch, jnp.asarray(y), sub))
+        ok = np.asarray(eval_step(params, prep(batch), jnp.asarray(y), sub))
         for j, i in enumerate(idx):
             # short batches are padded by cycling graphs — count each test
             # graph exactly once

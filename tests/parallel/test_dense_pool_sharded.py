@@ -47,13 +47,22 @@ def _single_device_reference(pooler, n, x, s, r, w, n_pad):
     return params, out
 
 
-@pytest.mark.parametrize("alias", ["mincut", "diff"])
-def test_sharded_matches_unbatched(alias):
+@pytest.mark.parametrize("alias,kw", [
+    ("mincut", {}),
+    ("diff", {}),
+    ("dmon", {}),
+    ("hosc", {}),                       # mixed cut: exercises the A³ chain
+    ("hosc", {"alpha": 0.0}),           # first-order only
+    ("hosc", {"hosc_ortho": True}),
+    ("jb", {}),
+    ("acc", {}),
+])
+def test_sharded_matches_unbatched(alias, kw):
     if len(jax.devices()) < N_DEV:
         pytest.skip("needs 8 virtual devices")
     n, e = 48, 160
     x, s, r, w = _random_graph(n, e, seed=11)
-    pooler = get_pooler(alias, in_channels=6, k=4, batched=False)
+    pooler = get_pooler(alias, in_channels=6, k=4, batched=False, **kw)
 
     (x_pad, mask, S, R, W, n_pad,
      rows_per) = prepare_sharded_dense_graph(x, s, r, w, n, N_DEV)
@@ -141,14 +150,92 @@ def test_sharded_gradients_match_unbatched():
 
 
 def test_supported_list_and_rejection():
-    assert set(supported_sharded_poolers()) == {"mincut", "diff"}
-    pooler = get_pooler("dmon", in_channels=6, k=4, batched=False)
+    assert set(supported_sharded_poolers()) == {
+        "mincut", "diff", "dmon", "hosc", "jb", "acc", "bnpool"}
+    pooler = get_pooler("lap")  # dense but outside the MLP-select family
     mesh = make_mesh(1, axis="n")
     with pytest.raises(NotImplementedError):
         make_sharded_dense_pool_step(pooler, mesh, rows_per=8, axis="n")
     batched = get_pooler("mincut", in_channels=6, k=4)
     with pytest.raises(AssertionError):
         make_sharded_dense_pool_step(batched, mesh, rows_per=8, axis="n")
+
+
+def test_sharded_bnpool_matches_unbatched():
+    """BNPool: per-node-keyed Beta draws + host-sampled negatives make the
+    sharded forward EXACTLY reproduce the single-device unbatched forward
+    (same params, same key, same negatives) — sampling included."""
+    if len(jax.devices()) < N_DEV:
+        pytest.skip("needs 8 virtual devices")
+    from tgp_tpu.parallel.dense_pool import prepare_sharded_negatives
+
+    n, e = 48, 160
+    x, s, r, w = _random_graph(n, e, seed=23)
+    pooler = get_pooler("bnpool", in_channels=6, k=4, batched=False,
+                        per_node_keys=True)
+    (x_pad, mask, S, R, W, n_pad,
+     rows_per) = prepare_sharded_dense_graph(x, s, r, w, n, N_DEV)
+    NS, NR, NM, flat_neg = prepare_sharded_negatives(7, s, r, n, N_DEV)
+
+    batch = from_graphs([(x, np.stack([s, r]), w)],
+                        pad_nodes=n_pad, pad_edges=len(s))
+    key = jax.random.PRNGKey(11)
+    params = pooler.init(
+        {"params": jax.random.key(3), "sample": jax.random.key(0)}, batch)
+    ref = pooler.apply(params, batch, negatives=flat_neg,
+                       rngs={"sample": key})
+
+    mesh = make_mesh(N_DEV, axis="n")
+    step = make_sharded_dense_pool_step(pooler, mesh, rows_per, axis="n")
+    with mesh:
+        args = device_put_sharded_dense(mesh, x_pad, mask, S, R, W, axis="n")
+        x_pool, adj_pool, losses = step(key, params, *args, NS, NR, NM)
+
+    np.testing.assert_allclose(np.asarray(x_pool),
+                               np.asarray(ref.dense.x[0]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(adj_pool),
+                               np.asarray(ref.dense.adj[0]),
+                               rtol=1e-4, atol=1e-5)
+    assert set(losses) == set(ref.loss)
+    for name in losses:
+        np.testing.assert_allclose(float(losses[name]),
+                                   float(ref.loss[name]),
+                                   rtol=1e-4, atol=1e-6, err_msg=name)
+
+
+def test_dp_select_per_node_keys_layout_invariant():
+    """per_node_keys: the batched [B,N] and flat layouts draw identical
+    sticks for the same (graph, position) — the property the sharded path
+    relies on."""
+    from tgp_tpu.graph import to_dense
+    from tgp_tpu.select.dp import DPSelect
+
+    rng = np.random.default_rng(3)
+    graphs = [(rng.normal(size=(5, 4)).astype(np.float32),
+               np.zeros((2, 1), np.int64)),
+              (rng.normal(size=(3, 4)).astype(np.float32),
+               np.zeros((2, 1), np.int64))]
+    flat = from_graphs(graphs)
+    dense = to_dense(flat)
+    sel_flat = DPSelect(in_channels=4, k=3, batched=False,
+                        per_node_keys=True)
+    sel_dense = DPSelect(in_channels=4, k=3, batched=True,
+                         per_node_keys=True)
+    key = jax.random.PRNGKey(5)
+    p = sel_flat.init({"params": jax.random.key(0),
+                       "sample": jax.random.key(0)}, flat)
+    so_f = sel_flat.apply(p, flat, rngs={"sample": key})
+    so_d = sel_dense.apply(p, dense, rngs={"sample": key})
+    # flat row i of graph g == dense row (g, pos)
+    ng = np.asarray(flat.node_graph)
+    pos = np.asarray(flat.node_pos)
+    nm = np.asarray(flat.node_mask)
+    sf = np.asarray(so_f.s)
+    sd = np.asarray(so_d.s)
+    for i in np.nonzero(nm)[0]:
+        np.testing.assert_allclose(sf[i], sd[ng[i], pos[i]],
+                                   rtol=1e-6, atol=1e-7)
 
 
 def test_sharded_dropout_training_mode():

@@ -47,17 +47,22 @@ def test_use_dense_pipeline_regime_map():
 
 def test_prepare_batch_routing():
     b = make_batch([6, 5], num_features=4, seed=0)
-    out = prepare_batch(b)
-    assert isinstance(out, DenseGraphBatch)  # small -> densified
+    # pooler=None is CONSERVATIVE (VERDICT r4 weak #2): auto never
+    # densifies without knowing the pooler can take a DenseGraphBatch
+    assert prepare_batch(b) is b
+    # with a dense-capable pooler, the small batch is densified
+    pooler = get_pooler("topk", in_channels=4, ratio=0.5)
+    out = prepare_batch(b, pooler=pooler)
+    assert isinstance(out, DenseGraphBatch)
 
     assert prepare_batch(b, densify=False) is b
-    forced = prepare_batch(b, densify=True)
+    forced = prepare_batch(b, densify=True)  # explicit force: no pooler ok
     assert isinstance(forced, DenseGraphBatch)
 
-    # wide batch stays sparse under "auto"
+    # wide batch stays sparse under "auto" even with a dense-capable pooler
     wide = make_batch([DENSE_PIPELINE_MAX_NODES + 5], num_features=2,
                       p=0.01, seed=1)
-    assert isinstance(prepare_batch(wide), GraphBatch)
+    assert isinstance(prepare_batch(wide, pooler=pooler), GraphBatch)
 
     # an already-dense batch passes through (optionally normalized)
     d = to_dense(b)
@@ -68,7 +73,7 @@ def test_prepare_batch_routing():
 
 def test_prepare_batch_normalize_matches_gcn_norm_dense():
     b = make_batch([8, 6], num_features=4, seed=2, weighted=True)
-    got = prepare_batch(b, normalize=True, adj_dtype=None)
+    got = prepare_batch(b, densify=True, normalize=True, adj_dtype=None)
     want = gcn_norm_dense(to_dense(b))
     np.testing.assert_allclose(np.asarray(got.adj), np.asarray(want.adj),
                                rtol=1e-6)
@@ -196,7 +201,7 @@ def test_pooling_classifier_dense_matches_sparse():
     params = model.init(jax.random.key(1), b)
 
     logits_sp, out_sp = model.apply(params, b)
-    dense = prepare_batch(b)
+    dense = prepare_batch(b, pooler=pooler)
     assert isinstance(dense, DenseGraphBatch)
     logits_dn, out_dn = model.apply(params, dense)
 
@@ -216,8 +221,8 @@ def test_pre_normalized_layer_equivalence():
 
     b = make_batch([9, 7], num_features=5, seed=17, pad_nodes=24,
                    pad_edges=192, weighted=True)
-    d_raw = prepare_batch(b, normalize=False)
-    d_norm = prepare_batch(b, normalize=True, adj_dtype=None)
+    d_raw = prepare_batch(b, densify=True, normalize=False)
+    d_norm = prepare_batch(b, densify=True, normalize=True, adj_dtype=None)
 
     c0 = GCNConv(8, normalize=True)
     c1 = GCNConv(8, normalize=False)
@@ -233,7 +238,7 @@ def test_pooling_classifier_dense_gradients_flow():
 
     b = make_batch([8] * 4, num_features=6, seed=19, pad_nodes=48,
                    pad_edges=384)
-    dense = prepare_batch(b, normalize=True, adj_dtype=None)
+    dense = prepare_batch(b, densify=True, normalize=True, adj_dtype=None)
     y = jnp.asarray([0, 1, 2, 0])
     pooler = get_pooler("topk", in_channels=12, ratio=0.5)
     model = PoolingClassifier(pooler=pooler, num_classes=3, hidden=12,
@@ -271,6 +276,11 @@ def test_prepare_batch_pooler_capability_gate():
     sag = get_pooler("sag", in_channels=4, ratio=0.5)
     assert prepare_batch(b, pooler=sag) is b
 
+    # unbatched ('_u') dense-family instance runs the flat [N,K] pipeline:
+    # auto must not densify for it either
+    mu = get_pooler("mincut", in_channels=4, k=3, batched=False)
+    assert prepare_batch(b, pooler=mu) is b
+
     # forcing densify for a sparse-only pooler raises up front
     with pytest.raises(ValueError, match="ACCEPTS_DENSE_BATCH"):
         prepare_batch(b, densify=True, pooler=sag)
@@ -301,7 +311,7 @@ def test_gcn_norm_dense_abs_degrees_signed_weights():
 def test_bf16_adjacency_does_not_downcast_features():
     from tgp_tpu.mp.gcn import GCNConv
     b = make_batch([6, 5], num_features=4, seed=3)
-    dense = prepare_batch(b, normalize=True)  # adj bf16 by default
+    dense = prepare_batch(b, densify=True, normalize=True)  # adj bf16 default
     assert dense.adj.dtype == jnp.bfloat16
     conv = GCNConv(8, normalize=False)
     params = conv.init(jax.random.PRNGKey(0), dense, dense.x)
@@ -310,7 +320,7 @@ def test_bf16_adjacency_does_not_downcast_features():
     assert dense.x.dtype == jnp.float32
     assert out.dtype == jnp.float32
     # and agree with the f32-adjacency result to bf16 resolution
-    dense32 = prepare_batch(b, normalize=True, adj_dtype=None)
+    dense32 = prepare_batch(b, densify=True, normalize=True, adj_dtype=None)
     out32 = conv.apply(params, dense32, dense32.x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out32),
                                rtol=2e-2, atol=2e-2)

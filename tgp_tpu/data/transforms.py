@@ -23,14 +23,27 @@ def split_graph_tuple(graph):
     ``None`` in the edge-weight slot (``(x, ei, None, y)``) and the
     ``(x, ei, y)`` shorthand — a 1-D *integer* array of length-N in slot 2
     is node labels, not edge weights (edge weights are float, per-edge).
+    When N == E the shorthand is ambiguous (integer multiplicity edge
+    weights look exactly like labels — ADVICE r4), so a ``ValueError``
+    asks for the explicit ``(x, ei, None, y)`` / ``(x, ei, ew)`` form
+    instead of silently guessing.
     """
     x, ei = np.asarray(graph[0]), np.asarray(graph[1])
     ew = graph[2] if len(graph) > 2 else None
     y = graph[3] if len(graph) > 3 else None
     if ew is not None:
         ew = np.asarray(ew)
-        if (y is None and ew.ndim == 1 and ew.shape[0] == x.shape[0]
-                and np.issubdtype(ew.dtype, np.integer)):
+        looks_like_labels = (y is None and ew.ndim == 1
+                             and ew.shape[0] == x.shape[0]
+                             and np.issubdtype(ew.dtype, np.integer))
+        if looks_like_labels and ew.shape[0] == ei.shape[1]:
+            raise ValueError(
+                "ambiguous graph tuple: slot 2 is a 1-D integer array and "
+                f"N == E == {ew.shape[0]} — it could be node labels or "
+                "integer edge weights.  Pass the explicit 4-tuple "
+                "(x, ei, None, y) for labels or (x, ei, ew) with float "
+                "edge weights.")
+        if looks_like_labels:
             y, ew = ew, None
     if y is not None:
         y = np.asarray(y)

@@ -35,6 +35,11 @@ __all__ = [
     "mincut_loss",
     "sparse_mincut_loss",
     "sparse_ho_mincut_loss",
+    "mincut_from_sums",
+    "ho_mincut_from_motif",
+    "link_pred_from_sums",
+    "spectral_from_sums",
+    "totvar_from_sums",
     "orthogonality_loss",
     "unbatched_orthogonality_loss",
     "hosc_orthogonality_loss",
@@ -76,6 +81,67 @@ def _nodes_per_graph(node_graph, num_graphs, node_mask):
 
 
 # ---------------------------------------------------------------------------
+# Shared "from-sums" combinators.
+#
+# Every edge-dependent loss in this library decomposes into a handful of
+# global sums (trace of SᵀAS, residual sums over edges, degree-weighted
+# row norms, …) followed by a small scalar combine.  The combine step is
+# factored out here so it exists ONCE and is shared by (a) the sparse
+# twins below and (b) the node-sharded distributed path
+# (tgp_tpu/parallel/dense_pool.py), which produces the same sums via
+# psum/all_gather over a device mesh instead of segment ops.  The sharded
+# loss-dict parity tests pin both callers to the same scalars.
+# ---------------------------------------------------------------------------
+
+
+def mincut_from_sums(num, den):
+    """Combine mincut numerator/denominator sums: ``−num / (den + eps)``.
+    ``num`` = per-graph Tr(SᵀAS) = Σ_e w_e⟨S_i,S_j⟩, ``den`` = per-graph
+    Σ_n d_n‖S_n‖² (reference: losses.py:126-215)."""
+    return -(num / (den + eps))
+
+
+def ho_mincut_from_motif(S, motif_s, motif_deg, node_graph, num_graphs,
+                         node_mask=None, batch_reduction="mean"):
+    """Higher-order mincut from the already-applied motif operator:
+    ``motif_s = A³·S`` and ``motif_deg = A³·1`` (reference:
+    losses.py:218-316).  Shared by the sparse twin (three SpMMs) and the
+    sharded path (three edge-partitioned SpMMs + all_gathers)."""
+    num = segment_sum(jnp.sum(S * motif_s, axis=-1), node_graph, num_graphs,
+                      mask=node_mask)
+    den = segment_sum(motif_deg * jnp.sum(S * S, axis=-1), node_graph,
+                      num_graphs, mask=node_mask)
+    return _batch_reduce(mincut_from_sums(num, den), batch_reduction)
+
+
+def link_pred_from_sums(sum_res, sum_ss, sts_fro_sq, nn_sum,
+                        normalize_loss=True):
+    """Combine the Frobenius-identity sums of ‖A−SSᵀ‖_F:
+    ``sqrt(Σ_e(w_e−ss_e)² + Σ_g‖S_gᵀS_g‖²_F − Σ_e ss_e²)``, normalized by
+    ``Σ_g n_g²`` (reference: losses.py:711-777)."""
+    sq = jnp.clip(sum_res + sts_fro_sq - sum_ss, 0.0, None)
+    loss = jnp.sqrt(sq)
+    if normalize_loss:
+        loss = loss / jnp.maximum(nn_sum, 1.0)
+    return loss
+
+
+def spectral_from_sums(tr_ast, ca, m):
+    """Combine per-graph modularity sums: ``−(Tr(SᵀAS) − ‖dᵀS‖²/2m) / 2m``
+    with ``ca = dᵀS`` ([...,K]) and ``m`` = per-graph edge-weight volume / 2
+    (reference: losses.py:1151-1213)."""
+    safe_m = jnp.maximum(m, eps)
+    normalizer_tr = jnp.sum(ca * ca, -1) / (2 * safe_m)
+    return -(tr_ast - normalizer_tr) / (2 * safe_m)
+
+
+def totvar_from_sums(weighted_l1, n_edges):
+    """Combine total-variation sums: ``Σ_e w_e|S_i−S_j|₁ / (2·E_g)``
+    (reference: losses.py:865-917)."""
+    return weighted_l1 / (2 * jnp.maximum(n_edges, 1.0))
+
+
+# ---------------------------------------------------------------------------
 # MinCut (reference: losses.py:39-84 batched, :126-215 sparse)
 # ---------------------------------------------------------------------------
 
@@ -101,7 +167,7 @@ def sparse_mincut_loss(senders, receivers, edge_weight, S, node_graph, num_graph
     den = segment_sum(den_per_node, node_graph, num_graphs, mask=node_mask)
     edge_contrib = edge_weight * jnp.sum(S[senders] * S[receivers], axis=-1)
     num = segment_sum(edge_contrib, node_graph[senders], num_graphs)
-    return _batch_reduce(-(num / (den + eps)), batch_reduction)
+    return _batch_reduce(mincut_from_sums(num, den), batch_reduction)
 
 
 def sparse_ho_mincut_loss(senders, receivers, edge_weight, S, node_graph, num_graphs,
@@ -113,16 +179,14 @@ def sparse_ho_mincut_loss(senders, receivers, edge_weight, S, node_graph, num_gr
     Z = spmm(receivers, senders, edge_weight, S, N)  # A S (row i sums over j: A_ij S_j)
     Z = spmm(receivers, senders, edge_weight, Z, N)
     Z = spmm(receivers, senders, edge_weight, Z, N)
-    num_per_node = jnp.sum(S * Z, axis=-1)
-    num = segment_sum(num_per_node, node_graph, num_graphs, mask=node_mask)
 
     ones = jnp.ones((N, 1), S.dtype)
     d = spmm(receivers, senders, edge_weight, ones, N)
     d = spmm(receivers, senders, edge_weight, d, N)
     d = spmm(receivers, senders, edge_weight, d, N)[:, 0]
-    den_per_node = d * jnp.sum(S * S, axis=-1)
-    den = segment_sum(den_per_node, node_graph, num_graphs, mask=node_mask)
-    return _batch_reduce(-(num / (den + eps)), batch_reduction)
+    return ho_mincut_from_motif(S, Z, d, node_graph, num_graphs,
+                                node_mask=node_mask,
+                                batch_reduction=batch_reduction)
 
 
 # ---------------------------------------------------------------------------
@@ -172,13 +236,15 @@ def hosc_orthogonality_loss(S, mask=None, batch_reduction="mean"):
         return _batch_reduce(jnp.zeros(B, S.dtype), batch_reduction)
     norm = jnp.sqrt(jnp.sum(S * S, axis=-2) + 0.0).sum(-1)
     sqrt_k = math.sqrt(K)
-    # clamp like the unbatched twin (maximum(n_g, 1)): an all-masked row
-    # would otherwise contribute 0/0 = NaN to the batch mean
-    sqrt_nodes = (
-        jnp.sqrt(jnp.maximum(mask.sum(1).astype(S.dtype), 1.0))
-        if mask is not None else math.sqrt(num_nodes)
-    )
-    return _batch_reduce((sqrt_k - norm / sqrt_nodes) / (sqrt_k - 1), batch_reduction)
+    if mask is not None:
+        n_g = mask.sum(1).astype(S.dtype)
+        loss = (sqrt_k - norm / jnp.sqrt(jnp.maximum(n_g, 1.0))) / (sqrt_k - 1)
+        # an all-masked (empty padded) graph must contribute 0, not the
+        # maximal constant sqrt_k/(sqrt_k−1) (ADVICE r4) — mirror the twin
+        loss = jnp.where(n_g > 0, loss, 0.0)
+    else:
+        loss = (sqrt_k - norm / math.sqrt(num_nodes)) / (sqrt_k - 1)
+    return _batch_reduce(loss, batch_reduction)
 
 
 def unbatched_hosc_orthogonality_loss(S, node_graph, num_graphs, node_mask=None,
@@ -191,6 +257,7 @@ def unbatched_hosc_orthogonality_loss(S, node_graph, num_graphs, node_mask=None,
     n_g = _nodes_per_graph(node_graph, num_graphs, node_mask)
     sqrt_k = math.sqrt(K)
     loss = (sqrt_k - norm / jnp.sqrt(jnp.maximum(n_g, 1.0))) / (sqrt_k - 1)
+    loss = jnp.where(n_g > 0, loss, 0.0)  # empty graph slots contribute 0
     return _batch_reduce(loss, batch_reduction)
 
 
@@ -239,13 +306,10 @@ def sparse_link_pred_loss(S, senders, receivers, edge_weight, node_graph, num_gr
     # endpoints carry nonzero S rows; padded rows are zero, so ss_e=0 there.
     sum_ss = jnp.sum(ss_ij**2 * (edge_weight != 0))
     STS = _per_graph_sts(S, node_graph, num_graphs, node_mask)
-    total_sts_sq = jnp.sum(STS * STS)
-    sq = jnp.clip(sum_res + total_sts_sq - sum_ss, 0.0, None)
-    loss = jnp.sqrt(sq)
-    if normalize_loss:
-        n_g = _nodes_per_graph(node_graph, num_graphs, node_mask)
-        loss = loss / jnp.maximum(jnp.sum(n_g * n_g), 1.0)
-    return loss
+    n_g = _nodes_per_graph(node_graph, num_graphs, node_mask)
+    return link_pred_from_sums(sum_res, sum_ss, jnp.sum(STS * STS),
+                               jnp.sum(n_g * n_g),
+                               normalize_loss=normalize_loss)
 
 
 def unbatched_entropy_loss(S, num_nodes=None, node_mask=None):
@@ -295,7 +359,7 @@ def sparse_totvar_loss(senders, receivers, edge_weight, S, node_graph, num_graph
     eg = node_graph[senders]
     loss = segment_sum(w, eg, num_graphs)
     n_edges = segment_sum((edge_weight != 0).astype(S.dtype), eg, num_graphs)
-    return _batch_reduce(loss / (2 * jnp.maximum(n_edges, 1.0)), batch_reduction)
+    return _batch_reduce(totvar_from_sums(loss, n_edges), batch_reduction)
 
 
 def _masked_col_quantile(S, k, node_graph, num_graphs, node_mask):
@@ -431,11 +495,8 @@ def sparse_spectral_loss(senders, receivers, edge_weight, S, node_graph, num_gra
     edge_contrib = edge_weight * jnp.sum(S[senders] * S[receivers], axis=-1)
     tr_ast = segment_sum(edge_contrib, eg, num_graphs)
     m = segment_sum(edge_weight, eg, num_graphs) / 2
-    safe_m = jnp.maximum(m, eps)
     ca = segment_sum(S * degrees[:, None], node_graph, num_graphs, mask=node_mask)
-    normalizer_tr = jnp.sum(ca * ca, -1) / (2 * safe_m)
-    loss = -(tr_ast - normalizer_tr) / (2 * safe_m)
-    return _batch_reduce(loss, batch_reduction)
+    return _batch_reduce(spectral_from_sums(tr_ast, ca, m), batch_reduction)
 
 
 def cluster_loss(S, mask=None, batch_reduction="mean"):

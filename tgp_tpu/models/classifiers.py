@@ -7,6 +7,7 @@ pooler's aux losses surfaced for the training loss.
 
 from __future__ import annotations
 
+import inspect
 from typing import Optional, Tuple, Union
 
 import jax
@@ -57,8 +58,15 @@ class PoolingClassifier(nn.Module):
     compute_dtype: Optional[object] = None
 
     @nn.compact
-    def __call__(self, batch: Union[GraphBatch, DenseGraphBatch]
+    def __call__(self, batch: Union[GraphBatch, DenseGraphBatch],
+                 deterministic: bool = True
                  ) -> Tuple[jax.Array, PoolingOutput]:
+        """``deterministic=False`` enables the pooler's stochastic layers
+        (e.g. ASAP's attention dropout, the dense family's selector
+        dropout) — supply a ``dropout`` rng stream via
+        ``model.apply(..., rngs={"dropout": key})`` (ADVICE r4: the flag
+        must be threadable from the model, not only on direct pooler
+        calls)."""
         # explicit names keep the param tree identical with/without remat
         # (nn.remat changes the auto-generated module name)
         Conv = nn.remat(GCNConv) if self.remat else GCNConv
@@ -79,7 +87,11 @@ class PoolingClassifier(nn.Module):
                                  name=f"pre_conv_{i}")(batch, x))
         batch = batch.with_features(x)
 
-        out: PoolingOutput = self.pooler(batch)
+        pool_kw = {}
+        if "deterministic" in inspect.signature(
+                type(self.pooler).__call__).parameters:
+            pool_kw["deterministic"] = deterministic
+        out: PoolingOutput = self.pooler(batch, **pool_kw)
 
         if out.graph is not None:
             pooled = out.graph

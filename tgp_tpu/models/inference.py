@@ -48,6 +48,11 @@ class Predictor:
       batch_size: static graphs-per-batch of every compiled executable.
       node_base/edge_base: smallest bucket ceilings (smaller bases = less
         padding, more buckets).
+      out_width: trailing output width hint (e.g. ``num_classes``) so an
+        empty input returns rank-2 ``(0, out_width)`` from the FIRST call
+        — without it the width is only learned on the first non-empty
+        call, and ``np.concatenate`` over serving chunks would trip on a
+        leading empty chunk (ADVICE r4).
       donate: unused hook for future buffer donation.
 
     Call with a list of ``(x, edge_index[, edge_weight])`` numpy graphs;
@@ -56,7 +61,8 @@ class Predictor:
 
     def __init__(self, apply_fn: Callable, params, *, batch_size: int = 8,
                  node_base: int = 64, edge_base: int = 256,
-                 sort_edges: bool = False):
+                 sort_edges: bool = False,
+                 out_width: Optional[int] = None):
         self._apply = jax.jit(apply_fn)
         self._params = params
         self.batch_size = int(batch_size)
@@ -64,7 +70,9 @@ class Predictor:
         self.edge_base = int(edge_base)
         self.sort_edges = sort_edges
         self._seen_buckets: set = set()
-        self._out_tail: tuple = ()  # trailing output dims, learned on first call
+        # trailing output dims; refined to the true shape on first call
+        self._out_tail: tuple = (
+            (int(out_width),) if out_width is not None else ())
 
     @property
     def num_compiled(self) -> int:

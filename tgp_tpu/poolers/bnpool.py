@@ -53,6 +53,10 @@ class BNPool(DenseSRCPooling):
     #: path (reference num_neg_samples, bnpool.py:135-139; None = one
     #: negative per positive edge)
     num_neg_samples: Optional[int] = None
+    #: forward to DPSelect: per-node RNG keying makes the Beta draws
+    #: layout- and sharding-invariant (required by the sharded path,
+    #: tgp_tpu/parallel/dense_pool.py)
+    per_node_keys: bool = False
     act: Optional[str] = None
     dropout: float = 0.0
     remove_self_loops: bool = True
@@ -70,6 +74,7 @@ class BNPool(DenseSRCPooling):
         self.selector = DPSelect(
             in_channels=self.in_channels, k=self.k, batched=self.batched,
             act=self.act, dropout=self.dropout, s_inv_op=self.s_inv_op,
+            per_node_keys=self.per_node_keys,
         )
         eye = jnp.eye(self.k)
         self.K = self.param(
@@ -113,21 +118,29 @@ class BNPool(DenseSRCPooling):
         return {"quality": rec, "kl": self.eta * kl, "K_prior": kp}
 
     def compute_sparse_loss(self, batch: GraphBatch, so: SelectOutput,
-                            key: jax.Array) -> Dict[str, jax.Array]:
+                            key: Optional[jax.Array],
+                            negatives=None) -> Dict[str, jax.Array]:
         s = so.s
-        neg_s, neg_r, neg_m = negative_edge_sampling(key, batch)
-        if self.num_neg_samples is not None:
-            from tgp_tpu.ops.sampling import cap_samples_per_graph
+        if negatives is not None:
+            # caller-provided negative edges (host-sampled): used by the
+            # node-sharded path for exact sharded-vs-single parity
+            # (tgp_tpu/parallel/dense_pool.py::prepare_sharded_negatives)
+            # and for deterministic evaluation
+            neg_s, neg_r, neg_m = negatives
+        else:
+            neg_s, neg_r, neg_m = negative_edge_sampling(key, batch)
+            if self.num_neg_samples is not None:
+                from tgp_tpu.ops.sampling import cap_samples_per_graph
 
-            neg_m = cap_samples_per_graph(
-                neg_m, batch.node_graph[neg_s], batch.num_graphs,
-                self.num_neg_samples)
+                neg_m = cap_samples_per_graph(
+                    neg_m, batch.node_graph[neg_s], batch.num_graphs,
+                    self.num_neg_samples)
         all_s = jnp.concatenate([batch.senders, neg_s])
         all_r = jnp.concatenate([batch.receivers, neg_r])
         all_m = jnp.concatenate([batch.edge_mask, neg_m])
         logits = jnp.sum((s[all_s] @ self._K_mat()) * s[all_r], -1)
         y = jnp.concatenate([
-            jnp.ones(batch.num_edges), jnp.zeros(batch.num_edges)])
+            jnp.ones(batch.num_edges), jnp.zeros(neg_s.shape[0])])
         eg = batch.node_graph[all_s]
         rec, cnt = sparse_bce_reconstruction_loss(
             logits, y, edges_graph=eg, num_graphs=batch.num_graphs,
@@ -144,7 +157,7 @@ class BNPool(DenseSRCPooling):
 
     def __call__(self, batch, *, so: Optional[SelectOutput] = None,
                  lifting: bool = False, x: Optional[jax.Array] = None,
-                 deterministic: bool = True):
+                 deterministic: bool = True, negatives=None):
         if lifting:
             return self.lift(x if x is not None else batch.x, so)
 
@@ -166,8 +179,10 @@ class BNPool(DenseSRCPooling):
         else:
             if so is None:
                 so = self.selector(batch, deterministic)
-            loss = self.compute_sparse_loss(batch, so,
-                                            self.make_rng("sample"))
+            loss = self.compute_sparse_loss(
+                batch, so,
+                None if negatives is not None else self.make_rng("sample"),
+                negatives=negatives)
             x_pool = reduce_dense_unbatched(
                 batch.x, so.s, batch.node_graph, batch.num_graphs,
                 batch.node_mask)

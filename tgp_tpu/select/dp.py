@@ -42,6 +42,13 @@ class DPSelect(nn.Module):
     act: Optional[str] = None
     dropout: float = 0.0
     s_inv_op: str = "transpose"
+    #: key each node's Beta draws by ``fold_in(key, graph).fold_in(pos)``
+    #: instead of one batch-level key: the sampled ``s`` then depends only
+    #: on each node's identity, so it is IDENTICAL across layouts —
+    #: batched [B,N] vs flat, and single-device vs node-sharded
+    #: (tgp_tpu/parallel/dense_pool.py requires this for exact sharded
+    #: loss parity).  Slightly slower (per-node key folding).
+    per_node_keys: bool = False
 
     @nn.compact
     def __call__(self, batch, deterministic: bool = True) -> SelectOutput:
@@ -54,9 +61,30 @@ class DPSelect(nn.Module):
         q_alpha, q_beta = jnp.split(out, 2, axis=-1)
 
         key = self.make_rng("sample")
-        k1, k2 = jax.random.split(key)
-        g1 = jax.random.gamma(k1, q_alpha)
-        g2 = jax.random.gamma(k2, q_beta)
+        if self.per_node_keys:
+            if self.batched:
+                B, N = x.shape[0], x.shape[1]
+                gids = jnp.repeat(jnp.arange(B, dtype=jnp.uint32), N)
+                pos = jnp.tile(jnp.arange(N, dtype=jnp.uint32), B)
+                a2 = q_alpha.reshape(B * N, -1)
+                b2 = q_beta.reshape(B * N, -1)
+            else:
+                gids = batch.node_graph.astype(jnp.uint32)
+                pos = batch.node_pos.astype(jnp.uint32)
+                a2, b2 = q_alpha, q_beta
+
+            def draw(g, p, a, b):
+                kk = jax.random.fold_in(jax.random.fold_in(key, g), p)
+                k1, k2 = jax.random.split(kk)
+                return jax.random.gamma(k1, a), jax.random.gamma(k2, b)
+
+            g1, g2 = jax.vmap(draw)(gids, pos, a2, b2)
+            g1 = g1.reshape(q_alpha.shape)
+            g2 = g2.reshape(q_beta.shape)
+        else:
+            k1, k2 = jax.random.split(key)
+            g1 = jax.random.gamma(k1, q_alpha)
+            g2 = jax.random.gamma(k2, q_beta)
         z = jnp.clip(g1 / jnp.clip(g1 + g2, 1e-12, None), 1e-6, 1 - 1e-6)
         s = stick_breaking(z)
 
