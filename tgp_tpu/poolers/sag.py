@@ -61,31 +61,42 @@ class SAGPooling(SRCPooling):
             raise ValueError(
                 f"gnn_kind must be graph_conv|gcn|le, got {self.gnn_kind!r}")
 
+    def score(self, batch: GraphBatch,
+              attn: Optional[jax.Array] = None) -> jax.Array:
+        """Activated per-node attention score ``a = act(GNN(X, A))`` —
+        addressable via ``pooler.apply(..., method=...)`` so the sharded
+        path (tgp_tpu/parallel/sparse_pool.py) scores with the SAME GNN
+        parameters (VERDICT r4 #2).  With one-hop scorers the aggregation
+        is receiver-local, so a shard's scores are exact given the gathered
+        features and its local (receiver-owned) edges."""
+        if self.score_gnn is not None:
+            score = self.gnn(batch, attn)
+            score = score[:, 0] if score.ndim > 1 else score
+        elif self.gnn_kind == "le":
+            score = self.gnn(
+                attn if attn is not None else batch.x, batch.senders,
+                batch.receivers, batch.edge_weight, batch.num_nodes,
+                batch.node_mask)[:, 0]
+        else:
+            score = self.gnn(batch, attn)[:, 0]
+        if self.min_score is None:
+            score = resolve_activation(self.nonlinearity)(score)
+        else:
+            from tgp_tpu.ops.segment import segment_softmax
+
+            score = segment_softmax(score, batch.node_graph,
+                                    batch.num_graphs, mask=batch.node_mask)
+        return score
+
     def __call__(self, batch: GraphBatch, *, so: Optional[SelectOutput] = None,
                  lifting: bool = False, x: Optional[jax.Array] = None,
                  attn: Optional[jax.Array] = None):
         if lifting:
             return self.lift(x if x is not None else batch.x, so)
         if so is None:
-            if self.score_gnn is not None:
-                score = self.gnn(batch, attn)
-                score = score[:, 0] if score.ndim > 1 else score
-            elif self.gnn_kind == "le":
-                score = self.gnn(
-                    attn if attn is not None else batch.x, batch.senders,
-                    batch.receivers, batch.edge_weight, batch.num_nodes,
-                    batch.node_mask)[:, 0]
-            else:
-                score = self.gnn(batch, attn)[:, 0]
-            if self.min_score is None:
-                score = resolve_activation(self.nonlinearity)(score)
-            else:
-                from tgp_tpu.ops.segment import segment_softmax
-
-                score = segment_softmax(score, batch.node_graph,
-                                        batch.num_graphs, mask=batch.node_mask)
             so = topk_select_from_scores(
-                score, batch, self.ratio, self.min_score, self.s_inv_op)
+                self.score(batch, attn), batch, self.ratio, self.min_score,
+                self.s_inv_op)
         x_pool = self.reduce(batch.x, so) * self.multiplier
         edges = self.connect(batch, so, ConnectConfig(
             reduce_op=self.connect_red_op,
