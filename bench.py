@@ -42,6 +42,9 @@ P_EDGE = 0.03    # ER density
 F = 128          # feature width
 HIDDEN = 128
 STEPS = 100      # long enough that device time per call dwarfs tunnel RTT
+# large-graph leg (module-level so tests can shrink them)
+N_LARGE, E_LARGE = 65536, 1_000_000
+STEPS_LARGE = 20
 
 #: nominal single-chip ceilings used for the utilization fields (TPU v5e:
 #: 197 TF/s bf16 MXU, 819 GB/s HBM).  Measured practical envelopes are in
@@ -119,7 +122,63 @@ def bench_jax(graphs, labels):
     return n_edges / dt, dt
 
 
-def _timed_scan(make_one_step, carry, data, y):
+def bench_jax_large():
+    """Large-graph end-to-end leg (VERDICT r4 #3): ONE sorted graph at
+    N=64k, E=1M, F=128 with bf16 compute — the sparse pipeline's home
+    regime, where the regime map engages the Pallas sorted-CSR kernel
+    (E ≥ 262k).  Full train step: GCN → topk pool → GCN → readout → adam.
+
+    Context for the number (RESULTS.md round-4 accounting): ONE SpMM chain
+    pass at this shape runs 5.41 ms = 194 M edges/s on v5e.  The step
+    contains ~6 SpMM-grade passes (pre-conv fwd gather+segment, its
+    backward scatter+gather, pooled-graph conv fwd+bwd, connect relabel)
+    plus selector/top-k glue, so the speed-of-light step bound is
+    ~30-35 M edges/s; the gap itemization lives in RESULTS.md round 5.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tgp_tpu.graph import from_graphs
+    from tgp_tpu.models.classifiers import PoolingClassifier
+    from tgp_tpu.poolers import get_pooler
+
+    N_LG, E_LG = N_LARGE, E_LARGE
+    rng = np.random.default_rng(7)
+    s = rng.integers(0, N_LG, E_LG)
+    r = rng.integers(0, N_LG, E_LG)
+    x = rng.normal(size=(N_LG, F)).astype(np.float32)
+    batch = from_graphs([(x, np.stack([s, r]))], sort_edges=True)
+    y = jnp.asarray([1])
+
+    pooler = get_pooler("topk", in_channels=HIDDEN, ratio=0.5)
+    model = PoolingClassifier(pooler=pooler, num_classes=3, hidden=HIDDEN,
+                              compute_dtype=jnp.bfloat16)
+    params = model.init(jax.random.key(0), batch)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    def make_step(batch, y):
+        def one_step(carry, _):
+            p, o = carry
+
+            def loss_fn(p):
+                logits, out = model.apply(p, batch)
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    logits, y).mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, o = tx.update(grads, o)
+            return (optax.apply_updates(p, updates), o), loss
+        return one_step
+
+    dt = _timed_scan(make_step, (params, opt_state), batch, y,
+                     steps=STEPS_LARGE)
+    n_edges = int(np.asarray(batch.edge_mask).sum())
+    return n_edges / dt, dt
+
+
+def _timed_scan(make_one_step, carry, data, y, steps=None):
     """Device-honest per-step time from ONE compiled program (remote
     compiles through the axon tunnel can take minutes apiece, so the dual-
     length variant is too slow for the driver's window): the training loop
@@ -133,6 +192,9 @@ def _timed_scan(make_one_step, carry, data, y):
 
     import jax
 
+    if steps is None:
+        steps = STEPS
+
     # data enters as jit ARGUMENTS (not closure constants): the remote-
     # compile endpoint rejects requests with large embedded literals
     # (HTTP 413), and device buffers keep the request small either way
@@ -141,7 +203,7 @@ def _timed_scan(make_one_step, carry, data, y):
         (p, o), losses = jax.lax.scan(one_step, (p, o), None, length=n)
         return p, o, losses[-1]
 
-    run_s = jax.jit(functools.partial(run, STEPS))
+    run_s = jax.jit(functools.partial(run, steps))
     p, o = carry
     # per-step FLOPs / HBM bytes from the compiled program, for the
     # utilization fields (VERDICT r3 #7).  XLA's cost analysis counts a
@@ -186,8 +248,8 @@ def _timed_scan(make_one_step, carry, data, y):
     t_many = median(many)
     diff = t_many - t_one
     if diff <= 0:  # tunnel jitter ate the signal — fall back to the
-        return t_many / (reps * STEPS)  # all-inclusive upper bound
-    return diff / ((reps - 1) * STEPS)
+        return t_many / (reps * steps)  # all-inclusive upper bound
+    return diff / ((reps - 1) * steps)
 
 
 def bench_jax_default(graphs, labels):
@@ -354,16 +416,16 @@ def bench_torch(graphs, labels):
     return ei.shape[1] / dt, dt
 
 
-def _sparse_subprocess(timeout_s: int = 420):
-    """Run the sparse-pipeline leg in a subprocess with a hard timeout so a
-    slow remote compile can never eat the driver's bench window (the dense
-    headline + vs_baseline always print)."""
+def _leg_subprocess(flag: str, timeout_s: int = 420):
+    """Run a bench leg in a subprocess with a hard timeout so a slow remote
+    compile can never eat the driver's bench window (the dense headline +
+    vs_baseline always print)."""
     import subprocess
     import sys
 
     try:
         out = subprocess.run(
-            [sys.executable, __file__, "--sparse-only"],
+            [sys.executable, __file__, flag],
             capture_output=True, text=True, timeout=timeout_s)
         for line in out.stdout.strip().splitlines()[::-1]:
             try:
@@ -384,6 +446,10 @@ def main():
         sparse, _ = bench_jax_sparse(graphs, labels)
         print(round(sparse, 1))
         return
+    if "--large-only" in sys.argv:
+        large, _ = bench_jax_large()
+        print(round(large, 1))
+        return
     ours, dt_ours = bench_jax(graphs, labels)
     cost = _LAST_COST
     # the DOCUMENTED default path (PoolingClassifier + prepare_batch):
@@ -397,7 +463,10 @@ def main():
         default_path = None
     # the general sparse pipeline (auto-dispatched kernels), same workload
     # — the regime map's other leg (VERDICT r2 #3); timeout-guarded
-    sparse = _sparse_subprocess()
+    sparse = _leg_subprocess("--sparse-only")
+    # the sparse pipeline's HOME regime: one N=64k / E=1M sorted graph
+    # with the Pallas kernel engaged (VERDICT r4 #3); timeout-guarded
+    large = _leg_subprocess("--large-only", timeout_s=560)
     try:
         base, dt_base = bench_torch(graphs, labels)
     except Exception:
@@ -409,6 +478,7 @@ def main():
         "vs_baseline": round(ours / base, 3) if base else None,
         "default_path": round(default_path, 1) if default_path else None,
         "sparse_pipeline": sparse,
+        "large_graph": large,
     }
     if cost:
         tf_s = cost["flops_per_step"] / dt_ours / 1e12

@@ -25,6 +25,16 @@ driver-visible ``PARITY_TU.json`` at the repo root either way:
 Runs BASELINE configs 1-2 (GCN+topk on PROTEINS; dense mincut + diff on
 NCI1) across seeds and prints mean ± std test accuracy per (dataset,
 pooler) plus the reference's published ballpark for context.
+
+BASELINE configs 3-5 (VERDICT r4 #7) are covered by frozen twin-style rows
+appended to the same JSON (skip with ``--no-extended``): precoarsened
+NDP/Graclus classification, clustering NMI (CSBM community twin of the
+Cora config, incl. TVGNN = GTVConv+ACC), node classification via
+pool→lift, and PAN + aggr-reduce variants.  Each runs the corresponding
+example entry point end-to-end with frozen seeds/epochs, so every BASELINE
+config has a driver-visible, regression-gated number
+(tests/data/test_parity_gate_rows.py) that switches to real data the
+moment a mount appears.
 """
 
 from __future__ import annotations
@@ -62,6 +72,55 @@ WELL_KNOWN = [os.environ.get("TGP_TU_DATA"), str(ROOT / "data" / "tu"),
               "/data/TUDataset", "/data/tu"]
 
 
+def extended_config_rows(seeds: int):
+    """BASELINE configs 3-5 as frozen twin rows (zero-egress stand-ins for
+    Cora/MUTAG, same pipelines as the reference examples):
+
+      3. precoarsened Graclus + mixed NDP→Graclus schedules
+      4. clustering NMI (dense mincut on a CSBM community twin of Cora;
+         TVGNN = GTVConv + ACC) and node classification via pool→LIFT
+      5. PANPooling and AggrReduce (set2set) classification
+    """
+    from examples.classification_aggr_reduce import main as aggr_main
+    from examples.classification_pan import main as pan_main
+    from examples.clustering import main as clustering_main
+    from examples.clustering_tvgnn import main as tvgnn_main
+    from examples.node_class import main as node_class_main
+    from examples.pre_coarsening import main as precoarsen_main
+
+    import numpy as np
+
+    specs = [
+        # (dataset-twin, config label, metric, frozen epochs, seeded runner)
+        ("SYNTH_GC", "precoarsen_graclus", "acc", 12,
+         lambda s: precoarsen_main("graclus", epochs=12, verbose=False)),
+        ("SYNTH_GC", "precoarsen_ndp_graclus", "acc", 12,
+         lambda s: precoarsen_main("mixed", epochs=12, verbose=False)),
+        ("CSBM_SYN", "clustering_mincut_nmi", "nmi", 150,
+         lambda s: clustering_main("mincut", epochs=150, seed=s,
+                                   verbose=False)),
+        ("CSBM_SYN", "clustering_tvgnn_nmi", "nmi", 200,
+         lambda s: tvgnn_main(epochs=200, seed=s, verbose=False)),
+        ("CSBM_SYN", "node_class_lift_topk", "acc", 80,
+         lambda s: node_class_main("topk", epochs=80, seed=s,
+                                   verbose=False)),
+        ("SYNTH_GC", "pan_classification", "acc", 12,
+         lambda s: pan_main(epochs=12, verbose=False)),
+        ("SYNTH_GC", "aggr_set2set", "acc", 12,
+         lambda s: aggr_main("set2set", epochs=12, verbose=False)),
+    ]
+    rows = []
+    for ds, label, metric, epochs, runner in specs:
+        seeded = label.startswith(("clustering", "node_class"))
+        vals = [float(runner(s)) for s in range(seeds if seeded else 1)]
+        rows.append({"dataset": ds, "pooler": label, "metric": metric,
+                     f"{metric}_mean": round(float(np.mean(vals)), 4),
+                     f"{metric}_std": round(float(np.std(vals)), 4),
+                     "seeds": len(vals), "epochs": epochs,
+                     "synthetic_twin": True})
+    return rows
+
+
 def discover_data_dir(datasets):
     """First well-known mount containing ALL requested real datasets."""
     for cand in WELL_KNOWN:
@@ -84,6 +143,8 @@ def main():
     ap.add_argument("--emit-json", default=str(ROOT / "PARITY_TU.json"))
     ap.add_argument("--cpu", action="store_true",
                     help="pin the cpu backend (default: whatever is live)")
+    ap.add_argument("--no-extended", action="store_true",
+                    help="skip the BASELINE config 3-5 twin rows")
     args = ap.parse_args()
 
     if args.cpu:
@@ -133,19 +194,25 @@ def main():
                                  verbose=False)
                 accs.append(float(acc))
             rows.append({"dataset": name, "pooler": alias,
+                         "metric": "acc",
                          "acc_mean": round(float(np.mean(accs)), 4),
                          "acc_std": round(float(np.std(accs)), 4),
                          "seeds": len(accs), "epochs": args.epochs,
                          "synthetic_twin": twins})
 
-    print(f"\n{'dataset':14s} {'pooler':8s} {'acc':>8s} {'±':>6s} "
+    if not args.no_extended:
+        rows.extend(extended_config_rows(args.seeds))
+
+    print(f"\n{'dataset':14s} {'config':24s} {'value':>8s} {'±':>6s} "
           f"{'runs':>4s}  reference ballpark")
     for r in rows:
         base = r["dataset"].replace("_SYN", "")
         ctx = CONTEXT.get((base, r["pooler"]), "-")
         star = " (twin)" if r["synthetic_twin"] else ""
-        print(f"{r['dataset']:14s} {r['pooler']:8s} {r['acc_mean']:8.3f} "
-              f"{r['acc_std']:6.3f} {r['seeds']:4d}  {ctx}{star}")
+        metric = r.get("metric", "acc")
+        print(f"{r['dataset']:14s} {r['pooler']:24s} "
+              f"{r[f'{metric}_mean']:8.3f} {r[f'{metric}_std']:6.3f} "
+              f"{r['seeds']:4d}  {ctx}{star}")
 
     if args.emit_json:
         import jax

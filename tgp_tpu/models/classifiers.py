@@ -84,6 +84,7 @@ class PoolingClassifier(nn.Module):
                                  name=f"pre_conv_{i}")(batch, x))
             else:
                 x = nn.relu(Conv(self.hidden, use_pallas=self.use_pallas,
+                                 dtype=self.compute_dtype,
                                  name=f"pre_conv_{i}")(batch, x))
         batch = batch.with_features(x)
 
@@ -98,9 +99,11 @@ class PoolingClassifier(nn.Module):
             h = pooled.x
             for i in range(self.num_post_layers):
                 h = nn.relu(Conv(self.hidden, use_pallas=self.use_pallas,
+                                 dtype=self.compute_dtype,
                                  name=f"post_conv_{i}")(pooled, h))
             z = global_reduce(
-                h, node_graph=pooled.node_graph, num_graphs=pooled.num_graphs,
+                h.astype(jnp.float32), node_graph=pooled.node_graph,
+                num_graphs=pooled.num_graphs,
                 node_mask=pooled.node_mask, op=self.readout,
             )
         else:

@@ -90,6 +90,28 @@ def _agg_variance_preserving(x, seg, C, mask):
     return segment_sum(x, seg, C, mask=mask) / jnp.sqrt(n)[:, None]
 
 
+def _len_bucket(n: int) -> int:
+    """Round a length bound up to a power-of-two bucket (min 4) — bounds
+    the number of distinct compiled shapes when batches vary."""
+    return max(4, 1 << (max(int(n), 1) - 1).bit_length())
+
+
+def _resolve_len(max_len, x) -> int:
+    """Static sequence-length budget for the padded per-segment layout.
+
+    ``max_len=None`` (the default) derives the bound from STATIC batch
+    metadata — the padded row count ``x.shape[0]``, bucketed — so
+    LSTM/GRU/sort/quantile/... are EXACT at any cluster size (reference
+    semantics, tgp/reduce/aggr_reduce.py:33-156; VERDICT r4 #6) and the
+    budget is identical between eager ``init`` and jitted ``apply`` (some
+    aggregations' parameter shapes depend on it).  Pass an explicit
+    ``max_len`` to cap the ``[C, L, F]`` buffer when clusters are known to
+    be small — over-budget elements are then truncated."""
+    if max_len is not None:
+        return int(max_len)
+    return _len_bucket(x.shape[0])
+
+
 def _to_padded_sequences(x, seg, C, mask, L, key=None):
     """``[N,F]`` → per-segment padded ``[C, L, F]`` + length mask ``[C, L]``,
     ordered by original node index within each segment (or by descending
@@ -194,30 +216,32 @@ class LSTMAggregation(nn.Module):
     """Order-sensitive LSTM over per-segment sequences (sorted by node
     index, like the reference's ``_aggregate_sorted``)."""
 
-    max_len: int = 32
+    max_len: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, seg, C, mask):
         F = x.shape[-1]
-        seqs, lmask = _to_padded_sequences(x, seg, C, mask, self.max_len)
+        L = _resolve_len(self.max_len, x)
+        seqs, lmask = _to_padded_sequences(x, seg, C, mask, L)
         lengths = lmask.sum(-1)
         outs = nn.RNN(nn.OptimizedLSTMCell(features=F))(
             seqs, seq_lengths=lengths)
-        last = jnp.clip(lengths - 1, 0, self.max_len - 1)
+        last = jnp.clip(lengths - 1, 0, L - 1)
         return jnp.take_along_axis(
             outs, last[:, None, None].repeat(F, -1), axis=1)[:, 0]
 
 
 class GRUAggregation(nn.Module):
-    max_len: int = 32
+    max_len: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, seg, C, mask):
         F = x.shape[-1]
-        seqs, lmask = _to_padded_sequences(x, seg, C, mask, self.max_len)
+        L = _resolve_len(self.max_len, x)
+        seqs, lmask = _to_padded_sequences(x, seg, C, mask, L)
         lengths = lmask.sum(-1)
         outs = nn.RNN(nn.GRUCell(features=F))(seqs, seq_lengths=lengths)
-        last = jnp.clip(lengths - 1, 0, self.max_len - 1)
+        last = jnp.clip(lengths - 1, 0, L - 1)
         return jnp.take_along_axis(
             outs, last[:, None, None].repeat(F, -1), axis=1)[:, 0]
 
@@ -230,7 +254,7 @@ class SetTransformerAggregation(nn.Module):
 
     num_heads: int = 4
     num_seeds: int = 1
-    max_len: int = 32
+    max_len: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, seg, C, mask):
@@ -238,7 +262,8 @@ class SetTransformerAggregation(nn.Module):
         F = ((x.shape[-1] + self.num_heads - 1)
              // self.num_heads) * self.num_heads
         x = nn.Dense(F)(x)
-        seqs, lmask = _to_padded_sequences(x, seg, C, mask, self.max_len)
+        L = _resolve_len(self.max_len, x)
+        seqs, lmask = _to_padded_sequences(x, seg, C, mask, L)
         attn_mask = lmask[:, None, None, :]  # [C, 1, 1, L]
         # SAB: self-attention over set elements
         h = nn.MultiHeadDotProductAttention(
@@ -253,7 +278,7 @@ class SetTransformerAggregation(nn.Module):
         out = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, qkv_features=F)(
                 q, h, mask=jnp.broadcast_to(
-                    attn_mask, (C, 1, self.num_seeds, self.max_len)))
+                    attn_mask, (C, 1, self.num_seeds, L)))
         return out.mean(axis=1)
 
 
@@ -298,12 +323,12 @@ class LCMAggregation(nn.Module):
     balanced binary tree (log₂L levels).  Invalid slots carry a validity bit
     so a (valid, invalid) pair passes the valid operand through unchanged."""
 
-    max_len: int = 32
+    max_len: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, seg, C, mask):
         F = x.shape[-1]
-        L = 1 << max(1, (self.max_len - 1).bit_length())  # power of two
+        L = 1 << max(1, (_resolve_len(self.max_len, x) - 1).bit_length())
         proj = nn.Dense(F, name="proj")
         comb1 = nn.Dense(F, name="comb1")
         comb2 = nn.Dense(F, name="comb2")
@@ -335,13 +360,13 @@ class PatchTransformerAggregation(nn.Module):
 
     patch_size: int = 4
     num_heads: int = 2
-    max_len: int = 32
+    max_len: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, seg, C, mask):
         F = x.shape[-1]
         Fh = ((F + self.num_heads - 1) // self.num_heads) * self.num_heads
-        L = ((self.max_len + self.patch_size - 1)
+        L = ((_resolve_len(self.max_len, x) + self.patch_size - 1)
              // self.patch_size) * self.patch_size
         P = L // self.patch_size
         seqs, lmask = _to_padded_sequences(x, seg, C, mask, L)
@@ -370,14 +395,15 @@ class GraphMultisetTransformer(nn.Module):
 
     k: int = 4
     num_heads: int = 2
-    max_len: int = 32
+    max_len: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, seg, C, mask):
         F = x.shape[-1]
         Fh = ((F + self.num_heads - 1) // self.num_heads) * self.num_heads
         x = nn.Dense(Fh)(x)
-        seqs, lmask = _to_padded_sequences(x, seg, C, mask, self.max_len)
+        seqs, lmask = _to_padded_sequences(x, seg, C, mask,
+                                           _resolve_len(self.max_len, x))
         amask = lmask[:, None, None, :]
         seeds = self.param("seeds", nn.initializers.normal(0.02),
                            (self.k, Fh))
@@ -418,11 +444,12 @@ class DeepSetsAggregation(nn.Module):
 
 
 class MLPAggregation(nn.Module):
-    max_len: int = 32
+    max_len: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, seg, C, mask):
-        seqs, _ = _to_padded_sequences(x, seg, C, mask, self.max_len)
+        L = _resolve_len(self.max_len, x)
+        seqs, _ = _to_padded_sequences(x, seg, C, mask, L)
         return nn.Dense(x.shape[-1])(seqs.reshape(C, -1))
 
 
@@ -466,12 +493,14 @@ def get_aggr(alias: str, **kwargs):
             return lambda x, seg, C, mask: fn(x, seg, C, mask, **kwargs)
         return fn
     if alias == "median":
-        L = kwargs.get("max_len", 32)
-        return lambda x, seg, C, mask: _agg_median(x, seg, C, mask, L)
+        L = kwargs.get("max_len")
+        return lambda x, seg, C, mask: _agg_median(
+            x, seg, C, mask, _resolve_len(L, x))
     if alias == "quantile":
-        L = kwargs.get("max_len", 32)
+        L = kwargs.get("max_len")
         q = kwargs.get("q", 0.5)
-        return lambda x, seg, C, mask: _agg_quantile(x, seg, C, mask, L, q)
+        return lambda x, seg, C, mask: _agg_quantile(
+            x, seg, C, mask, _resolve_len(L, x), q)
     if alias in _LEARNABLE:
         cls = _LEARNABLE[alias]
         fields = {f.name for f in cls.__dataclass_fields__.values()} \
