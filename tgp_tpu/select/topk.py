@@ -127,6 +127,12 @@ def dense_topk_indices(
     ranked = jnp.where(mask, score, neg)
     K = N if min_score is not None else topk_budget(ratio, N)
     top_scores, idx = jax.lax.top_k(ranked, K)
+    # top_scores feeds only boolean masks below; the differentiable gate is
+    # recomputed through a one-hot matmul instead, because lax.top_k's VJP
+    # is a [B,K]→[B,N] XLA scatter that serializes on TPU — profiled at
+    # 72 µs of the 174 µs flagship step (41%, scripts/exp_r5_step_trace.py)
+    # vs ~1 µs for the MXU einsum transpose.
+    top_scores = jax.lax.stop_gradient(top_scores)
 
     if min_score is not None:
         smax = top_scores[:, :1]
@@ -140,7 +146,14 @@ def dense_topk_indices(
             k_g = jnp.maximum(jnp.ceil(ratio * n_g), 1).astype(jnp.int32)
         slot_mask = jnp.arange(K)[None, :] < k_g[:, None]
     slot_mask = slot_mask & (top_scores > neg)  # empty graphs stay empty
-    gate = jnp.where(slot_mask, top_scores, 0.0)
+    # gate[b,k] = ranked[b, idx[b,k]] via one-hot contraction: exact (one
+    # 1.0 per row, HIGHEST keeps f32 f32) and its transpose is another
+    # matmul — no scatter anywhere in the backward pass
+    onehot = (idx[:, :, None]
+              == jnp.arange(N, dtype=idx.dtype)[None, None, :])
+    ts_diff = jnp.einsum("bkn,bn->bk", onehot.astype(score.dtype), ranked,
+                         precision=jax.lax.Precision.HIGHEST)
+    gate = jnp.where(slot_mask, ts_diff, 0.0)
     return idx, slot_mask, gate
 
 
