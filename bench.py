@@ -128,12 +128,15 @@ def bench_jax_large():
     regime, where the regime map engages the Pallas sorted-CSR kernel
     (E ≥ 262k).  Full train step: GCN → topk pool → GCN → readout → adam.
 
-    Context for the number (RESULTS.md round-4 accounting): ONE SpMM chain
-    pass at this shape runs 5.41 ms = 194 M edges/s on v5e.  The step
-    contains ~6 SpMM-grade passes (pre-conv fwd gather+segment, its
-    backward scatter+gather, pooled-graph conv fwd+bwd, connect relabel)
-    plus selector/top-k glue, so the speed-of-light step bound is
-    ~30-35 M edges/s; the gap itemization lives in RESULTS.md round 5.
+    Round-5 redesign (per-op itemization in RESULTS.md round 5 /
+    scripts/exp_r5_step_trace.py --large): static collator CSR metadata
+    (GraphBatch.row_ptr + transpose layout), scatter-free spmm_csr
+    backward, and TopkPooling's masked pool_mode (no compact relabel —
+    the pooled graph keeps the input's sorted layout) took the step from
+    117 ms (8.5 M edges/s, scatter/gather-bound) to ~21 ms (~47 M
+    edges/s): 4 SpMM-grade passes of gather (1.9 ms each, ~278 GB/s ≈ the
+    random-row envelope) + Pallas kernel (~0.9 ms each) + a masked-degree
+    pass + top-k ranking glue.
     """
     import jax
     import jax.numpy as jnp

@@ -1,0 +1,164 @@
+"""Round-5 large-graph redesign: static CSR aux, scatter-free spmm_csr,
+GCNConv fast-CSR branch, and TopkPooling's masked pool_mode.
+
+Oracle strategy (SURVEY §4): every fast path is pinned to the slow/XLA
+reference path on the same inputs — values AND gradients.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tgp_tpu.graph import from_graphs
+from tgp_tpu.mp.gcn import GCNConv
+from tgp_tpu.models.classifiers import PoolingClassifier
+from tgp_tpu.ops.pallas.segment_spmm import spmm_csr
+from tgp_tpu.poolers import get_pooler
+
+
+def _rand_batch(seed=0, feat=8, nographs=3, self_loops=False):
+    rng = np.random.default_rng(seed)
+    graphs = []
+    for _ in range(nographs):
+        n = int(rng.integers(10, 40))
+        e = int(n * 3)
+        s, r = rng.integers(0, n, e), rng.integers(0, n, e)
+        if not self_loops:
+            keep = s != r
+            s, r = s[keep], r[keep]
+        x = rng.normal(size=(n, feat)).astype(np.float32)
+        w = rng.random(s.shape[0]).astype(np.float32) + 0.1
+        graphs.append((x, np.stack([s, r]), w))
+    return from_graphs(graphs, sort_edges=True)
+
+
+def test_csr_aux_matches_numpy_reference():
+    b = _rand_batch(1)
+    s, r, w = map(np.asarray, (b.senders, b.receivers, b.edge_weight))
+    rp = np.asarray(b.row_ptr)
+    assert rp.shape[0] % 256 == 1  # rows_pad multiple of 256, +1
+    # row_ptr delimits receiver runs over ALL edge slots
+    for node in range(b.num_nodes):
+        seg = r[rp[node]: rp[node + 1]]
+        assert (seg == node).all()
+    assert rp[-1] == b.num_edges
+    # transpose layout is a permutation of the edge list, sorted by sender
+    st, rt, wt = map(np.asarray, (b.senders_t, b.receivers_t,
+                                  b.edge_weight_t))
+    assert (np.sort(st) == st).all()
+    ref = sorted(zip(s.tolist(), r.tolist(), w.tolist()))
+    got = sorted(zip(st.tolist(), rt.tolist(), wt.tolist()))
+    assert ref == got
+    # in_degree = Σ|w| by receiver over valid edges
+    deg = np.bincount(r, weights=np.abs(w) * np.asarray(b.edge_mask),
+                      minlength=b.num_nodes)
+    np.testing.assert_allclose(np.asarray(b.in_degree), deg, rtol=1e-6)
+
+
+def test_spmm_csr_matches_xla_segment_sum():
+    b = _rand_batch(2, feat=8)
+    N = b.num_nodes
+    h = jnp.asarray(np.random.default_rng(0).normal(
+        size=(N, 8)).astype(np.float32))
+    w = jnp.where(b.edge_mask, b.edge_weight, 0.0)
+
+    def fast(h, w):
+        return spmm_csr(h, w, b.edge_weight_t, b.senders, b.receivers,
+                        b.row_ptr, b.receivers_t, b.senders_t, b.row_ptr_t,
+                        N, True)
+
+    def ref(h, w):
+        return jax.ops.segment_sum(h[b.senders] * w[:, None], b.receivers,
+                                   num_segments=N)
+
+    np.testing.assert_allclose(np.asarray(fast(h, w)),
+                               np.asarray(ref(h, w)), atol=1e-5)
+    # gradients: d_h through the transpose kernel, d_w through SDDMM
+    g_fast = jax.grad(lambda h, w: (fast(h, w) ** 2).sum(), argnums=(0, 1))(
+        h, w)
+    g_ref = jax.grad(lambda h, w: (ref(h, w) ** 2).sum(), argnums=(0, 1))(
+        h, w)
+    np.testing.assert_allclose(np.asarray(g_fast[0]), np.asarray(g_ref[0]),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_fast[1]), np.asarray(g_ref[1]),
+                               atol=1e-4)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_gcnconv_fast_csr_matches_xla(masked):
+    b = _rand_batch(3)
+    if masked:
+        nm = np.asarray(b.node_mask) & (np.arange(b.num_nodes) % 3 != 0)
+        b = b.replace(node_mask=jnp.asarray(nm), in_degree=None,
+                      x=jnp.where(jnp.asarray(nm)[:, None], b.x, 0.0))
+    conv_fast = GCNConv(8, use_pallas=True)
+    conv_xla = GCNConv(8, use_pallas=False)
+    p = conv_xla.init(jax.random.key(0), b, b.x)
+    o_fast = conv_fast.apply(p, b, b.x)
+    o_xla = conv_xla.apply(p, b, b.x)
+    np.testing.assert_allclose(np.asarray(o_fast), np.asarray(o_xla),
+                               atol=2e-5)
+    g_fast = jax.grad(
+        lambda x: (conv_fast.apply(p, b.replace(x=x), x) ** 2).sum())(b.x)
+    g_xla = jax.grad(
+        lambda x: (conv_xla.apply(p, b.replace(x=x), x) ** 2).sum())(b.x)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_xla),
+                               atol=2e-4)
+
+
+def test_masked_pool_matches_compact_through_classifier():
+    b = _rand_batch(4)
+    pc = get_pooler("topk", in_channels=16, ratio=0.5, pool_mode="compact")
+    pm = get_pooler("topk", in_channels=16, ratio=0.5, pool_mode="masked")
+    mc = PoolingClassifier(pooler=pc, num_classes=3, hidden=16,
+                           use_pallas=True)
+    mm = PoolingClassifier(pooler=pm, num_classes=3, hidden=16,
+                           use_pallas=True)
+    p = mc.init(jax.random.key(0), b)
+    lc, _ = mc.apply(p, b)
+    lm, _ = mm.apply(p, b)
+    np.testing.assert_allclose(np.asarray(lc), np.asarray(lm), atol=1e-5)
+    gc = jax.grad(lambda p: mc.apply(p, b)[0].sum())(p)
+    gm = jax.grad(lambda p: mm.apply(p, b)[0].sum())(p)
+    for a, c in zip(jax.tree.leaves(gc), jax.tree.leaves(gm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-4)
+
+
+def test_masked_pool_multi_level():
+    """Masked pooling composes: a second level pools the masked graph."""
+    b = _rand_batch(5)
+    pool = get_pooler("topk", in_channels=8, ratio=0.5, pool_mode="masked")
+    p = pool.init(jax.random.key(0), b)
+    out1 = pool.apply(p, b)
+    g1 = out1.graph
+    assert g1.num_nodes == b.num_nodes  # same node space
+    assert int(np.asarray(g1.node_mask).sum()) < int(
+        np.asarray(b.node_mask).sum())
+    out2 = pool.apply(p, g1)
+    kept2 = np.asarray(out2.graph.node_mask)
+    assert kept2.sum() < np.asarray(g1.node_mask).sum()
+    assert not (kept2 & ~np.asarray(g1.node_mask)).any()  # subset
+
+
+def test_masked_lift_matches_compact_lift():
+    b = _rand_batch(6)
+    pc = get_pooler("topk", in_channels=8, ratio=0.5, pool_mode="compact")
+    pm = get_pooler("topk", in_channels=8, ratio=0.5, pool_mode="masked")
+    p = pc.init(jax.random.key(0), b)
+    oc = pc.apply(p, b)
+    om = pm.apply(p, b)
+    lift_c = pc.apply(p, b, so=oc.so, lifting=True, x=oc.graph.x)
+    lift_m = pm.apply(p, b, so=om.so, lifting=True, x=om.graph.x)
+    np.testing.assert_allclose(np.asarray(lift_c), np.asarray(lift_m),
+                               atol=1e-5)
+
+
+def test_auto_mode_stays_compact_on_cpu_small():
+    b = _rand_batch(7)
+    pool = get_pooler("topk", in_channels=8, ratio=0.5)  # pool_mode="auto"
+    p = pool.init(jax.random.key(0), b)
+    out = pool.apply(p, b)
+    # compact: supernode space, not the original node space
+    assert out.graph.num_nodes == b.num_graphs * out.so.max_clusters
+    assert out.so.extras.get("pool_mode") != "masked"

@@ -77,6 +77,31 @@ class GraphBatch:
     #: segment-sum path.
     edges_sorted: bool = struct.field(pytree_node=False, default=False)
 
+    # -- static-per-batch CSR acceleration metadata (round-5 profile:
+    # rebuilding these per step cost 8.8 ms of scatter + four 6-8 ms scalar
+    # gathers at E=1M; the connectivity is constant across train steps, so
+    # the collator precomputes them host-side, scripts/exp_r5_step_trace.py).
+    # All optional; ``from_graphs(sort_edges=True)`` fills them in.
+    #: ``[rows_pad+1]`` int32 receiver-CSR offsets (rows_pad = ceil(N/256)
+    #: ·256, the Pallas kernel's row grid); counts include zero-weight
+    #: padding edges (they sit at receiver 0 with weight 0).
+    row_ptr: Any = None
+    #: transpose (sender-sorted) edge layout for scatter-free SpMM
+    #: backward: ``senders_t = senders[perm]`` (ascending — the segment ids
+    #: of AᵀX), ``receivers_t = receivers[perm]`` (the gather indices),
+    #: ``edge_weight_t = edge_weight[perm]`` (zero on padding), with
+    #: ``perm = argsort(senders)``.
+    senders_t: Any = None
+    receivers_t: Any = None
+    edge_weight_t: Any = None
+    #: ``[rows_pad+1]`` int32 sender-CSR offsets over ``senders_t``.
+    row_ptr_t: Any = None
+    #: ``[N]`` f32 weighted in-degree ``Σ_{e: recv=i} |w_e|`` over valid
+    #: edges (no self-loops).  Only meaningful while ``node_mask`` covers
+    #: the same nodes it was computed for — code that masks nodes (e.g.
+    #: masked pooling) must clear it (``replace(in_degree=None)``).
+    in_degree: Any = None
+
     # -- static shape accessors -------------------------------------------
     @property
     def num_nodes(self) -> int:
@@ -94,21 +119,29 @@ class GraphBatch:
 
     # -- traced per-graph quantities --------------------------------------
     def nodes_per_graph(self) -> jax.Array:
-        """``[B]`` number of *real* nodes in each graph."""
-        return jax.ops.segment_sum(
-            self.node_mask.astype(jnp.int32),
-            self.node_graph,
-            num_segments=self.num_graphs,
-        )
+        """``[B]`` number of *real* nodes in each graph.
+
+        One-hot contraction, not ``segment_sum``: XLA serializes the
+        ``[N]→[B]`` integer scatter on TPU (7.2 ms at N=65k inside the
+        round-5 large-graph step), while the ``[B,N]·[N]`` matvec is
+        microseconds and exact (counts are small integers in f32)."""
+        oh = (self.node_graph[None, :]
+              == jnp.arange(self.num_graphs, dtype=jnp.int32)[:, None])
+        n_g = jnp.einsum("bn,n->b", oh.astype(jnp.float32),
+                         self.node_mask.astype(jnp.float32),
+                         precision=jax.lax.Precision.HIGHEST)
+        return n_g.astype(jnp.int32)
 
     def edges_per_graph(self) -> jax.Array:
-        """``[B]`` number of *real* edges in each graph."""
+        """``[B]`` number of *real* edges in each graph (one-hot
+        contraction — see :meth:`nodes_per_graph`)."""
         edge_graph = self.node_graph[self.senders]
-        return jax.ops.segment_sum(
-            self.edge_mask.astype(jnp.int32),
-            edge_graph,
-            num_segments=self.num_graphs,
-        )
+        oh = (edge_graph[None, :]
+              == jnp.arange(self.num_graphs, dtype=jnp.int32)[:, None])
+        e_g = jnp.einsum("be,e->b", oh.astype(jnp.float32),
+                         self.edge_mask.astype(jnp.float32),
+                         precision=jax.lax.Precision.HIGHEST)
+        return e_g.astype(jnp.int32)
 
     @property
     def edge_graph(self) -> jax.Array:
@@ -235,10 +268,33 @@ def from_graphs(
     # Padding nodes keep node_pos clamped into range for scatter safety.
     node_pos[n_off:] = max_nodes - 1 if max_nodes > 0 else 0
 
+    csr_aux = {}
     if sort_edges:
         order = np.argsort(receivers, kind="stable")
         senders, receivers = senders[order], receivers[order]
         edge_weight, edge_mask = edge_weight[order], edge_mask[order]
+        # static CSR metadata (see GraphBatch field docs): rebuilt per step
+        # these cost ~9 ms of scatter each at E=1M; host-side they're free
+        rows_pad = _ceil_to(max(N, 1), 256)
+        counts = np.bincount(receivers, minlength=rows_pad)
+        row_ptr = np.zeros(rows_pad + 1, np.int32)
+        row_ptr[1:] = np.cumsum(counts).astype(np.int32)
+        perm = np.argsort(senders, kind="stable")
+        senders_t = senders[perm]
+        counts_t = np.bincount(senders_t, minlength=rows_pad)
+        row_ptr_t = np.zeros(rows_pad + 1, np.int32)
+        row_ptr_t[1:] = np.cumsum(counts_t).astype(np.int32)
+        in_degree = np.bincount(
+            receivers, weights=np.abs(edge_weight), minlength=N
+        )[:N].astype(dtype)
+        csr_aux = dict(
+            row_ptr=jnp.asarray(row_ptr),
+            senders_t=jnp.asarray(senders_t),
+            receivers_t=jnp.asarray(receivers[perm]),
+            edge_weight_t=jnp.asarray(edge_weight[perm]),
+            row_ptr_t=jnp.asarray(row_ptr_t),
+            in_degree=jnp.asarray(in_degree),
+        )
 
     return GraphBatch(
         x=jnp.asarray(x_out),
@@ -252,6 +308,7 @@ def from_graphs(
         num_graphs=B,
         max_nodes=max_nodes,
         edges_sorted=sort_edges,
+        **csr_aux,
     )
 
 

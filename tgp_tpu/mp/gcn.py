@@ -50,11 +50,21 @@ def gcn_norm_dense(dense: DenseGraphBatch, *, add_self_loops: bool = True,
 def gcn_norm(batch: GraphBatch, add_self_loops: bool = True):
     """Symmetric GCN normalization ``D^{-1/2}(A+I)D^{-1/2}`` on masked COO.
     Returns ``(senders, receivers, weight)`` with the ``E+N`` static budget
-    when self-loops are added."""
+    when self-loops are added.
+
+    Edges whose endpoints fall outside ``node_mask`` are zeroed first, so a
+    masked pooled graph (``TopkPooling(pool_mode="masked")`` — node_mask
+    shrunk below the edges' endpoints) normalizes over the induced subgraph
+    exactly.  On ordinary batches this is a no-op (valid edges only connect
+    valid nodes)."""
     s, r, w, m = (batch.senders, batch.receivers, batch.edge_weight,
                   batch.edge_mask)
+    nm = batch.node_mask
+    ep_valid = m & nm[s] & nm[r]
+    w = jnp.where(ep_valid, w, 0.0)
+    m = ep_valid
     if add_self_loops:
-        s, r, w, m = add_remaining_self_loops(s, r, w, m, batch.node_mask, 1.0)
+        s, r, w, m = add_remaining_self_loops(s, r, w, m, nm, 1.0)
     w = normalize_adj_sym(s, r, w, m, batch.num_nodes)
     return s, r, w
 
@@ -104,11 +114,61 @@ class GCNConv(nn.Module):
                                           batch.edges_sorted)
         if (want_pallas and isinstance(batch, GraphBatch)
                 and batch.edges_sorted):
-            from tgp_tpu.ops.pallas.segment_spmm import segment_sum_sorted
+            from tgp_tpu.ops.pallas.segment_spmm import (
+                segment_sum_sorted,
+                spmm_csr,
+            )
             from tgp_tpu.ops.sparse import weighted_degree
 
             N = batch.num_nodes
+            interp = jax.default_backend() == "cpu"
             w = jnp.where(batch.edge_mask, batch.edge_weight, 0.0)
+            if batch.row_ptr is not None and batch.senders_t is not None:
+                # static-CSR fast path (round-5 profile): degree from the
+                # collator (or one width-2 kernel pass under dynamic node
+                # masks), both D^{-1/2} factors folded into NODE space
+                # (the per-edge dinv[senders]/dinv[receivers] scalar
+                # gathers alone cost 14 ms at E=1M), and the scatter-free
+                # transpose backward of spmm_csr.
+                w_t = batch.edge_weight_t
+                if batch.in_degree is not None:
+                    deg = batch.in_degree.astype(jnp.float32)
+                else:
+                    # masked/pooled graph: deg[r] = Σ |w_e|·m[send_e] via
+                    # the kernel itself.  The table is lane-width 128:
+                    # width-1 gathers hit XLA's slow scalar path (7.2 vs
+                    # 1.9 ms at E=1M).  The optimization barrier keeps XLA
+                    # from seeing through the broadcast and "simplifying"
+                    # the row gather back into that scalar gather (it did —
+                    # round-5 trace, fusion at segment_spmm.py:775).
+                    nm = batch.node_mask.astype(jnp.float32)
+                    tbl = jax.lax.optimization_barrier(
+                        jnp.broadcast_to(nm[:, None], (N, 128)))
+                    deg = spmm_csr(tbl, jnp.abs(w), jnp.abs(w_t),
+                                   batch.senders, batch.receivers,
+                                   batch.row_ptr, batch.receivers_t,
+                                   batch.senders_t, batch.row_ptr_t,
+                                   N, interp)[:, 0]
+                if self.add_self_loops:
+                    deg = deg + batch.node_mask.astype(deg.dtype)
+                dinv = jnp.where(
+                    deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0.0)
+                # fold node_mask into the sender-side scale: messages from
+                # masked nodes (and their input gradients) are structurally
+                # zero — matches the XLA path's endpoint-masked weights
+                dinv = dinv * batch.node_mask.astype(dinv.dtype)
+                h2 = h * dinv[:, None].astype(h.dtype)
+                out = spmm_csr(h2, w, w_t, batch.senders, batch.receivers,
+                               batch.row_ptr, batch.receivers_t,
+                               batch.senders_t, batch.row_ptr_t, N, interp)
+                out = out * dinv[:, None].astype(out.dtype)
+                if self.add_self_loops:
+                    out = out + h * (dinv * dinv)[:, None].astype(h.dtype)
+                out = jnp.where(batch.node_mask[:, None], out, 0.0)
+                if self.use_bias:
+                    out = out + self.param("bias", nn.initializers.zeros,
+                                           (self.out_channels,))
+                return out
             deg = weighted_degree(batch.receivers, w, N)
             if self.add_self_loops:
                 deg = deg + batch.node_mask.astype(deg.dtype)
@@ -116,9 +176,8 @@ class GCNConv(nn.Module):
                              0.0)
             w_norm = w * dinv[batch.senders] * dinv[batch.receivers]
             msgs = h[batch.senders] * w_norm[:, None]
-            out = segment_sum_sorted(
-                msgs, batch.receivers, N,
-                interpret=jax.default_backend() == "cpu")
+            out = segment_sum_sorted(msgs, batch.receivers, N,
+                                     interpret=interp)
             if self.add_self_loops:
                 out = out + h * (dinv * dinv)[:, None]
             out = jnp.where(batch.node_mask[:, None], out, 0.0)

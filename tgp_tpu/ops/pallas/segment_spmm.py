@@ -221,6 +221,32 @@ def _grouped_kernel(block_ref, chunk_ref, first_ref, lo_ref, hi_ref,
                           precision=precision)
 
 
+def _grouped_kernel_w(block_ref, chunk_ref, first_ref, lo_ref, hi_ref,
+                      w_ref, msgs_ref, out_ref, *, block_edges, precision):
+    """Weight-fused twin of :func:`_grouped_kernel`: computes per-row
+    ``Σ_e w_e · msgs_e`` by folding the edge weight into the membership
+    one-hot — the caller passes UNWEIGHTED gathered rows and never
+    materializes the ``[E, F]`` weighted-messages array (a full HBM
+    round-trip, ~1.5 ms at E=1M×128 — round-5 trace)."""
+    i = pl.program_id(0)
+    e0 = chunk_ref[i] * block_edges
+
+    @pl.when(first_ref[i] == 1)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    lo = lo_ref[:, 0:1]
+    hi = hi_ref[:, 0:1]
+    pos = e0 + jax.lax.broadcasted_iota(
+        jnp.int32, (lo_ref.shape[0], block_edges), 1)
+    oh = ((pos >= lo) & (pos < hi)).astype(jnp.float32)
+    ohw = (oh * w_ref[0, :][None, :].astype(jnp.float32)).astype(
+        msgs_ref.dtype)
+    out_ref[:] += jnp.dot(ohw, msgs_ref[:],
+                          preferred_element_type=jnp.float32,
+                          precision=precision)
+
+
 def _grouped_items(row_ptr, num_rows, block_rows, block_edges, n_chunks_pad):
     """Static-size work-item arrays from the CSR pointer (all jnp, jit-ok).
 
@@ -251,12 +277,22 @@ def sorted_segment_sum_grouped(msgs: jax.Array, rids, row_ptr: jax.Array,
                                num_rows: int, *,
                                block_rows: int | None = None,
                                block_edges: int | None = None,
+                               w: jax.Array | None = None,
+                               prepadded: bool = False,
                                precision=jax.lax.Precision.DEFAULT,
                                interpret: bool = False) -> jax.Array:
     """Work-item-grid twin of :func:`sorted_segment_sum_pallas` (same
     contract: receiver-sorted ``msgs [E, F]``, CSR ``row_ptr [num_rows+1]``,
     ``num_rows % block_rows == 0``).  Accumulates in f32 and returns
     ``[num_rows, F]`` cast back to ``msgs.dtype`` (bf16 in → bf16 out).
+
+    ``w`` ([E] per-edge weights) is multiplied IN-KERNEL (folded into the
+    membership one-hot), so callers can pass unweighted gathered rows and
+    skip materializing the weighted ``[E, F]`` messages array.
+    ``prepadded=True`` asserts the caller already padded the edge axis to
+    ``(n_chunks+1)·block_edges`` with a trailing all-zero chunk (pad the
+    [E] index/weight arrays before the gather — padding ``msgs`` itself is
+    a full HBM round-trip, ~1.5 ms at E=1M×128).
 
     Block sizes default to :func:`_auto_blocks` (the round-3 on-chip sweep
     put (256, 2048) first at E=1M within a ~10% spread of (128, 1024) and
@@ -267,17 +303,24 @@ def sorted_segment_sum_grouped(msgs: jax.Array, rids, row_ptr: jax.Array,
         F_pad = ((F + 127) // 128) * 128
         out = sorted_segment_sum_grouped(
             jnp.pad(msgs, ((0, 0), (0, F_pad - F))), None, row_ptr, num_rows,
-            block_rows=block_rows, block_edges=block_edges,
-            precision=precision, interpret=interpret)
+            block_rows=block_rows, block_edges=block_edges, w=w,
+            prepadded=prepadded, precision=precision, interpret=interpret)
         return out[:, :F]
     auto_br, auto_be = _auto_blocks(E, F, num_rows, msgs.dtype.itemsize)
     block_rows = block_rows or auto_br
     block_edges = block_edges or auto_be
     assert num_rows % block_rows == 0, (num_rows, block_rows)
     assert block_edges % 128 == 0
-    n_chunks_pad = (E + block_edges - 1) // block_edges
-    E_pad = (n_chunks_pad + 1) * block_edges  # +1 all-zero chunk for padding
-    msgs = jnp.concatenate([msgs, jnp.zeros((E_pad - E, F), msgs.dtype)])
+    if prepadded:
+        assert E % block_edges == 0 and E >= 2 * block_edges, (
+            E, block_edges)
+        n_chunks_pad = E // block_edges - 1  # last chunk is the zero pad
+    else:
+        n_chunks_pad = (E + block_edges - 1) // block_edges
+        E_pad = (n_chunks_pad + 1) * block_edges  # +1 zero chunk for padding
+        msgs = jnp.concatenate([msgs, jnp.zeros((E_pad - E, F), msgs.dtype)])
+        if w is not None:
+            w = jnp.concatenate([w, jnp.zeros(E_pad - E, w.dtype)])
 
     blk, chunk, is_first, t_max = _grouped_items(
         row_ptr.astype(jnp.int32), num_rows, block_rows, block_edges,
@@ -286,30 +329,47 @@ def sorted_segment_sum_grouped(msgs: jax.Array, rids, row_ptr: jax.Array,
     lo = jnp.broadcast_to(row_ptr[:num_rows, None], (num_rows, _CHUNK))
     hi = jnp.broadcast_to(row_ptr[1: num_rows + 1, None], (num_rows, _CHUNK))
 
+    in_specs = [
+        pl.BlockSpec((block_rows, _CHUNK),
+                     lambda i, b, c, f: (b[i], 0),
+                     memory_space=pltpu.VMEM),  # lo
+        pl.BlockSpec((block_rows, _CHUNK),
+                     lambda i, b, c, f: (b[i], 0),
+                     memory_space=pltpu.VMEM),  # hi
+    ]
+    operands = [lo, hi]
+    if w is None:
+        kernel = functools.partial(_grouped_kernel,
+                                   block_edges=block_edges,
+                                   precision=precision)
+    else:
+        kernel = functools.partial(_grouped_kernel_w,
+                                   block_edges=block_edges,
+                                   precision=precision)
+        # per-chunk weight rows: [n_chunks_total, block_edges] so the
+        # BlockSpec stays 2-D (1-D VMEM blocks don't tile)
+        in_specs.append(pl.BlockSpec((1, block_edges),
+                                     lambda i, b, c, f: (c[i], 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(w.reshape(-1, block_edges))
+    in_specs.append(pl.BlockSpec((block_edges, F),
+                                 lambda i, b, c, f: (c[i], 0),
+                                 memory_space=pltpu.VMEM))  # msgs chunk
+    operands.append(msgs)
+
     out = pl.pallas_call(
-        functools.partial(_grouped_kernel, block_edges=block_edges,
-                          precision=precision),
+        kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(t_max,),
-            in_specs=[
-                pl.BlockSpec((block_rows, _CHUNK),
-                             lambda i, b, c, f: (b[i], 0),
-                             memory_space=pltpu.VMEM),  # lo
-                pl.BlockSpec((block_rows, _CHUNK),
-                             lambda i, b, c, f: (b[i], 0),
-                             memory_space=pltpu.VMEM),  # hi
-                pl.BlockSpec((block_edges, F),
-                             lambda i, b, c, f: (c[i], 0),
-                             memory_space=pltpu.VMEM),  # msgs chunk
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (block_rows, F), lambda i, b, c, f: (b[i], 0),
                 memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((num_rows, F), jnp.float32),
         interpret=interpret,
-    )(blk, chunk, is_first, lo, hi, msgs)
+    )(blk, chunk, is_first, *operands)
     return out.astype(msgs.dtype)
 
 
@@ -628,15 +688,119 @@ def _sss_bwd(num_rows, interpret, receivers_sorted, g):
 _segment_sum_sorted_vjp.defvjp(_sss_fwd, _sss_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _segment_sum_sorted_csr_vjp(msgs, receivers_sorted, row_ptr,
+                                num_rows, interpret):
+    rows_pad = row_ptr.shape[0] - 1
+    out = sorted_segment_sum_grouped(msgs, receivers_sorted, row_ptr,
+                                     rows_pad, interpret=interpret)
+    return out[:num_rows]
+
+
+def _sss_csr_fwd(msgs, receivers_sorted, row_ptr, num_rows, interpret):
+    return (_segment_sum_sorted_csr_vjp(msgs, receivers_sorted, row_ptr,
+                                        num_rows, interpret),
+            receivers_sorted)
+
+
+def _sss_csr_bwd(num_rows, interpret, receivers_sorted, g):
+    return (g[jnp.clip(receivers_sorted, 0, num_rows - 1)], None, None)
+
+
+_segment_sum_sorted_csr_vjp.defvjp(_sss_csr_fwd, _sss_csr_bwd)
+
+
 def segment_sum_sorted(msgs, receivers_sorted, num_rows: int,
-                       interpret: bool = False):
+                       interpret: bool = False, row_ptr=None):
     """Convenience wrapper for model code: receiver-sorted messages →
     per-row sums via the Pallas kernel (differentiable — the backward pass
     is an XLA gather), handling row padding to the 128-row grid and
     building ``row_ptr`` on the fly.
 
+    Pass a precomputed ``row_ptr`` (``[rows_pad+1]`` with rows_pad a
+    256-multiple ≥ num_rows, e.g. ``GraphBatch.row_ptr`` from the collator)
+    to skip the in-step CSR build — the counts scatter alone costs ~9 ms at
+    E=1M (round-5 trace), and the connectivity is static across steps.
+
     Padding edge slots may point at row 0 with zero-valued messages — they
     contribute nothing to the sum, and their cotangent ``g[0]`` is
     multiplied by zero downstream of the weighting."""
+    if row_ptr is not None:
+        rows_pad = row_ptr.shape[0] - 1
+        assert rows_pad % 256 == 0 and rows_pad >= num_rows, (
+            rows_pad, num_rows)
+        return _segment_sum_sorted_csr_vjp(msgs, receivers_sorted, row_ptr,
+                                           num_rows, interpret)
     return _segment_sum_sorted_vjp(msgs, receivers_sorted, num_rows,
                                    interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def spmm_csr(h, w, w_t, senders, receivers, row_ptr,
+             receivers_t, senders_t, row_ptr_t, num_rows, interpret=False):
+    """SpMM ``out[r] = Σ_{e: recv=r} w_e · h[send_e]`` over a
+    receiver-sorted static-CSR edge list, with a **scatter-free backward**.
+
+    The VJP w.r.t. ``h`` is an SpMM over Aᵀ; with the sender-sorted
+    transpose layout precomputed by the collator
+    (``GraphBatch.{senders_t, receivers_t, edge_weight_t, row_ptr_t}``) it
+    runs as gather + Pallas sorted segment-sum instead of XLA's serialized
+    random scatter-add (15 ms → ~4 ms at E=1M, f32[65k,128] —
+    scripts/exp_r5_step_trace.py round 5).
+
+    ``w_t`` MUST equal ``w[argsort(senders)]`` — the caller passes the
+    static ``edge_weight_t`` (or a statically-masked variant).  Gradients
+    w.r.t. ``w`` are the standard SDDMM; ``w_t`` is treated as an
+    independent constant (zero cotangent) since it aliases ``w``.
+    """
+    return _gather_kernel_pass(h, w, senders, row_ptr, num_rows, interpret)
+
+
+def _gather_kernel_pass(x, w, idx, row_ptr, num_rows, interpret):
+    """gather → weight-fused Pallas segment-sum, with the edge axis padded
+    BEFORE the gather (index/weight [E] pads are ~100× cheaper than padding
+    the [E, F] messages array)."""
+    E = idx.shape[0]
+    F = x.shape[1]
+    rows_pad = row_ptr.shape[0] - 1
+    br, be = _auto_blocks(E, F, rows_pad, x.dtype.itemsize)
+    n_chunks = (E + be - 1) // be
+    E_pad = (n_chunks + 1) * be
+    idx_p = jnp.pad(idx, (0, E_pad - E))
+    w_p = jnp.pad(w, (0, E_pad - E))
+    # weighted gather: padding slots read row 0 at weight 0.  (The weight
+    # multiply stays on the XLA side — a [BE]-per-chunk VMEM weight input
+    # needs a (1, block_edges) block, which Mosaic's (8,128)-divisibility
+    # rule rejects; the XLA multiply fuses into a single [E_pad, F] pass.)
+    rows = x[idx_p] * w_p[:, None].astype(x.dtype)
+    out = sorted_segment_sum_grouped(
+        rows, None, row_ptr, rows_pad, block_rows=br, block_edges=be,
+        prepadded=True, interpret=interpret)
+    return out[:num_rows]
+
+
+def _spmm_csr_fwd(h, w, w_t, senders, receivers, row_ptr,
+                  receivers_t, senders_t, row_ptr_t, num_rows, interpret):
+    out = spmm_csr(h, w, w_t, senders, receivers, row_ptr,
+                   receivers_t, senders_t, row_ptr_t, num_rows, interpret)
+    return out, (h, w, w_t, senders, receivers, receivers_t, senders_t,
+                 row_ptr_t)
+
+
+def _spmm_csr_bwd(num_rows, interpret, res, g):
+    h, w, w_t, senders, receivers, receivers_t, senders_t, row_ptr_t = res
+    safe_rt = jnp.clip(receivers_t, 0, num_rows - 1)
+    # d_h = Aᵀ g over the sender-sorted layout (all indices static)
+    d_h = _gather_kernel_pass(g, w_t.astype(g.dtype), safe_rt, row_ptr_t,
+                              num_rows, interpret)
+    # d_w = SDDMM ⟨h[s], g[r]⟩ — dead-code-eliminated when edge weights
+    # carry no gradient (the usual GCN case)
+    safe_r = jnp.clip(receivers, 0, num_rows - 1)
+    d_w = jnp.sum(h[senders].astype(jnp.float32)
+                  * g[safe_r].astype(jnp.float32), axis=-1
+                  ).astype(w.dtype)
+    return (d_h.astype(h.dtype), d_w, jnp.zeros_like(w_t), None, None,
+            None, None, None, None)
+
+
+spmm_csr.defvjp(_spmm_csr_fwd, _spmm_csr_bwd)

@@ -44,6 +44,22 @@ def segment_sum(data, segment_ids, num_segments, mask=None, *,
 
 
 def segment_count(segment_ids, num_segments, mask=None):
+    """Element count per segment.
+
+    Fast path: XLA serializes the ``[N]→[B]`` integer scatter on TPU
+    (7.2 ms at N=65k, B=1 — round-5 trace), so for small ``B·N`` the count
+    is a one-hot ``[B,N]·[N]`` matvec instead (exact: counts < 2²⁴ in
+    f32).  Falls back to the scatter for segment/element counts where the
+    one-hot FLOPs would exceed the scatter cost."""
+    n = segment_ids.shape[0]
+    if n * num_segments <= (1 << 28) and n < (1 << 24):
+        oh = (segment_ids[None, :]
+              == jnp.arange(num_segments, dtype=segment_ids.dtype)[:, None])
+        v = (jnp.ones(n, jnp.float32) if mask is None
+             else mask.astype(jnp.float32))
+        cnt = jnp.einsum("bn,n->b", oh.astype(jnp.float32), v,
+                         precision=jax.lax.Precision.HIGHEST)
+        return cnt.astype(jnp.int32)
     ones = jnp.ones(segment_ids.shape, jnp.int32)
     return segment_sum(ones, segment_ids, num_segments, mask=mask)
 

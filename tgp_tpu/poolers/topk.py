@@ -145,6 +145,24 @@ class TopkPooling(SRCPooling):
     remove_self_loops: bool = True
     degree_norm: bool = False
     edge_weight_norm: bool = False
+    #: sparse-world pooled-graph layout (round-5 large-graph redesign):
+    #:   * ``"compact"`` — relabel kept nodes into the ``[B·Kmax]``
+    #:     supernode space (reference semantics, tgp/poolers/topk.py:
+    #:     124-193: ``A' = A[kept, kept]``).  The relabel gathers + the
+    #:     post-layer's unsorted-scatter SpMM cost ~90 ms at E=1M
+    #:     (scripts/exp_r5_step_trace.py --large).
+    #:   * ``"masked"`` — keep the ORIGINAL node space: gate kept features
+    #:     by their score and shrink ``node_mask`` to the selection.  The
+    #:     pooled graph reuses the input's receiver-sorted layout and
+    #:     static CSR metadata, so downstream convs stay on the Pallas
+    #:     fast path with scatter-free backward.  Mathematically the same
+    #:     pooled graph (the induced kept-node subgraph, identically
+    #:     gated), just not compacted — consumers must respect
+    #:     ``node_mask`` (every tgp_tpu op does).
+    #:   * ``"auto"`` — masked exactly in the regime where the compact
+    #:     relabel is the bottleneck: sorted edges + collator CSR aux +
+    #:     E ≥ PALLAS_MIN_EDGES + TPU backend; compact otherwise.
+    pool_mode: str = "auto"
 
     IS_TRAINABLE = True
     IS_PRECOARSENABLE = False
@@ -198,7 +216,71 @@ class TopkPooling(SRCPooling):
             return PoolingOutput(so=so, dense=pooled.replace(adj=adj))
         if so is None:
             so = self.selector(batch)
+        if self._use_masked(batch):
+            return self._masked_pool(batch, so)
         x_pool = self.reduce(batch.x, so) * self.multiplier
         edges = self.connect(batch, so, self._connect_cfg())
         pooled = self.pooled_graph(x_pool, edges, so, batch)
         return PoolingOutput(so=so, graph=pooled)
+
+    # ---- masked (in-place) sparse pooling --------------------------------
+    def _use_masked(self, batch: GraphBatch) -> bool:
+        if self.pool_mode == "compact":
+            return False
+        if self.pool_mode == "masked":
+            return True
+        assert self.pool_mode == "auto", self.pool_mode
+        if self.degree_norm or self.edge_weight_norm:
+            return False  # compact postprocess variants: keep reference path
+        from tgp_tpu.ops.sparse import PALLAS_MIN_EDGES
+
+        import jax.extend.backend as _backend
+
+        return (batch.edges_sorted and batch.row_ptr is not None
+                and batch.num_edges >= PALLAS_MIN_EDGES
+                and _backend.get_backend().platform not in ("cpu",))
+
+    def _masked_pool(self, batch: GraphBatch,
+                     so: SelectOutput) -> PoolingOutput:
+        """Gate + mask in the original node space (see ``pool_mode``).
+
+        Per-slot values match the compact path exactly: kept node *i*'s
+        pooled feature ``score_i·multiplier·x_i`` lives at node slot *i*
+        instead of supernode ``cluster_index[i]``; edges between kept nodes
+        keep their weight (``A[kept, kept]``), all else is masked.  Dropped
+        nodes' features are zeroed, so Pallas-path convs need no per-edge
+        endpoint masks (zero messages + node-mask-aware degrees)."""
+        keep = so.node_sel_mask
+        gate = jnp.where(keep, so.weight * self.multiplier, 0.0)
+        x_m = batch.x * gate[:, None].astype(batch.x.dtype)
+        w, m = batch.edge_weight, batch.edge_mask
+        w_t = batch.edge_weight_t
+        if self.remove_self_loops:
+            noloop = batch.senders != batch.receivers
+            w = jnp.where(noloop, w, 0.0)
+            m = m & noloop
+            if w_t is not None:
+                w_t = jnp.where(batch.senders_t != batch.receivers_t,
+                                w_t, 0.0)
+        pooled = batch.replace(
+            x=x_m,
+            node_mask=batch.node_mask & keep,
+            edge_weight=w,
+            edge_mask=m,
+            edge_weight_t=w_t,
+            in_degree=None,  # degrees must be recomputed under the mask
+        )
+        so = so.replace(extras={**so.extras, "pool_mode": "masked"})
+        return PoolingOutput(so=so, graph=pooled)
+
+    def lift(self, x_pool: jax.Array, so: SelectOutput) -> jax.Array:
+        if so.extras.get("pool_mode") == "masked":
+            # node-space x_pool: the compact lift ``x_lift[i] =
+            # S[i, c(i)]·x_pool[c(i)]`` becomes a weight-gated identity
+            if self.s_inv_op != "transpose":
+                raise NotImplementedError(
+                    "masked pool_mode implements lift for "
+                    "s_inv_op='transpose' only")
+            gate = jnp.where(so.node_sel_mask, so.weight, 0.0)
+            return x_pool * gate[:, None].astype(x_pool.dtype)
+        return super().lift(x_pool, so)
