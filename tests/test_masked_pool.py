@@ -90,7 +90,10 @@ def test_gcnconv_fast_csr_matches_xla(masked):
     b = _rand_batch(3)
     if masked:
         nm = np.asarray(b.node_mask) & (np.arange(b.num_nodes) % 3 != 0)
+        # contract: whoever shrinks node_mask below the edges' endpoints
+        # must set node_mask_shrunk (masked pooling does)
         b = b.replace(node_mask=jnp.asarray(nm), in_degree=None,
+                      node_mask_shrunk=True,
                       x=jnp.where(jnp.asarray(nm)[:, None], b.x, 0.0))
     conv_fast = GCNConv(8, use_pallas=True)
     conv_xla = GCNConv(8, use_pallas=False)

@@ -76,6 +76,13 @@ class GraphBatch:
     #: set by the collator via ``sort_edges=True`` to unlock the Pallas
     #: segment-sum path.
     edges_sorted: bool = struct.field(pytree_node=False, default=False)
+    #: static flag: ``node_mask`` may exclude nodes that still have live
+    #: edge slots (set by masked pooling — ``TopkPooling(pool_mode=
+    #: "masked")`` shrinks the mask without touching edges).  Consumers
+    #: that normalize over the adjacency (``gcn_norm``) must then weight
+    #: edges by endpoint validity; ordinary collated batches skip that
+    #: (valid edges only connect valid nodes).
+    node_mask_shrunk: bool = struct.field(pytree_node=False, default=False)
 
     # -- static-per-batch CSR acceleration metadata (round-5 profile:
     # rebuilding these per step cost 8.8 ms of scatter + four 6-8 ms scalar

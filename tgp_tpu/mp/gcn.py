@@ -52,17 +52,19 @@ def gcn_norm(batch: GraphBatch, add_self_loops: bool = True):
     Returns ``(senders, receivers, weight)`` with the ``E+N`` static budget
     when self-loops are added.
 
-    Edges whose endpoints fall outside ``node_mask`` are zeroed first, so a
-    masked pooled graph (``TopkPooling(pool_mode="masked")`` — node_mask
-    shrunk below the edges' endpoints) normalizes over the induced subgraph
-    exactly.  On ordinary batches this is a no-op (valid edges only connect
-    valid nodes)."""
+    On a masked pooled graph (``TopkPooling(pool_mode="masked")`` —
+    ``node_mask_shrunk`` set, node_mask below the edges' endpoints) edges
+    whose endpoints fall outside ``node_mask`` are zeroed first, so the
+    normalization covers the induced subgraph exactly.  Ordinary batches
+    skip the endpoint gathers (valid edges only connect valid nodes —
+    the unconditional version cost the small-batch sparse leg ~19%)."""
     s, r, w, m = (batch.senders, batch.receivers, batch.edge_weight,
                   batch.edge_mask)
     nm = batch.node_mask
-    ep_valid = m & nm[s] & nm[r]
-    w = jnp.where(ep_valid, w, 0.0)
-    m = ep_valid
+    if batch.node_mask_shrunk:
+        ep_valid = m & nm[s] & nm[r]
+        w = jnp.where(ep_valid, w, 0.0)
+        m = ep_valid
     if add_self_loops:
         s, r, w, m = add_remaining_self_loops(s, r, w, m, nm, 1.0)
     w = normalize_adj_sym(s, r, w, m, batch.num_nodes)

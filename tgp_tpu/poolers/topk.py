@@ -269,6 +269,7 @@ class TopkPooling(SRCPooling):
             edge_mask=m,
             edge_weight_t=w_t,
             in_degree=None,  # degrees must be recomputed under the mask
+            node_mask_shrunk=True,  # edges outlive the mask (gcn_norm)
         )
         so = so.replace(extras={**so.extras, "pool_mode": "masked"})
         return PoolingOutput(so=so, graph=pooled)
