@@ -165,3 +165,50 @@ def test_auto_mode_stays_compact_on_cpu_small():
     # compact: supernode space, not the original node space
     assert out.graph.num_nodes == b.num_graphs * out.so.max_clusters
     assert out.so.extras.get("pool_mode") != "masked"
+
+
+def test_loader_auto_sort_edges_regime():
+    from tgp_tpu.data.loaders import BucketedGraphLoader, GraphLoader
+    from tgp_tpu.ops.sparse import PALLAS_MIN_EDGES
+
+    rng = np.random.default_rng(0)
+    graphs = []
+    for _ in range(4):
+        n = 20
+        s, r = rng.integers(0, n, 40), rng.integers(0, n, 40)
+        graphs.append((rng.normal(size=(n, 4)).astype(np.float32),
+                       np.stack([s, r])))
+    # small edge budget → auto stays unsorted (no host argsort cost)
+    small = next(iter(GraphLoader(graphs, batch_size=2)))
+    assert not small.edges_sorted and small.row_ptr is None
+    # explicit True → sorted + CSR aux regardless of budget
+    forced = next(iter(GraphLoader(graphs, batch_size=2, sort_edges=True)))
+    assert forced.edges_sorted and forced.row_ptr is not None
+    rr = np.asarray(forced.receivers)
+    assert (np.diff(rr) >= 0).all()
+    # large edge budget → auto sorts (the Pallas regime)
+    big = next(iter(GraphLoader(graphs, batch_size=2,
+                                pad_edges=PALLAS_MIN_EDGES)))
+    assert big.edges_sorted and big.row_ptr is not None
+    # bucketed loader: same auto behavior per bucket
+    fb = next(iter(BucketedGraphLoader(graphs, batch_size=2,
+                                       sort_edges=True)))
+    assert fb.edges_sorted and fb.row_ptr is not None
+
+
+def test_sag_masked_matches_compact():
+    b = _rand_batch(8, feat=8)
+    pc = get_pooler("sag", in_channels=8, ratio=0.5, pool_mode="compact")
+    pm = get_pooler("sag", in_channels=8, ratio=0.5, pool_mode="masked")
+    mc = PoolingClassifier(pooler=pc, num_classes=3, hidden=8,
+                           use_pallas=True)
+    mm = PoolingClassifier(pooler=pm, num_classes=3, hidden=8,
+                           use_pallas=True)
+    p = mc.init(jax.random.key(0), b)
+    lc, _ = mc.apply(p, b)
+    lm, _ = mm.apply(p, b)
+    np.testing.assert_allclose(np.asarray(lc), np.asarray(lm), atol=1e-5)
+    gc = jax.grad(lambda p: mc.apply(p, b)[0].sum())(p)
+    gm = jax.grad(lambda p: mm.apply(p, b)[0].sum())(p)
+    for a, c in zip(jax.tree.leaves(gc), jax.tree.leaves(gm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-4)

@@ -32,6 +32,19 @@ def worst_case_cycled(per: Sequence[int], batch_size: int) -> int:
     return sum(per[:batch_size])
 
 
+def _auto_sort_edges(sort_edges: Optional[bool], pad_edges: int) -> bool:
+    """``None`` (auto) enables receiver-sorted collation + static CSR
+    metadata exactly in the regime where the Pallas sorted-CSR pipeline
+    engages (edge budget ≥ ``PALLAS_MIN_EDGES``) — large-graph batches get
+    the fast path (round-5: 47 vs 8.5 M edges/s end-to-end) without
+    paying the host-side argsort/bincount on small-batch streams."""
+    if sort_edges is not None:
+        return sort_edges
+    from tgp_tpu.ops.sparse import PALLAS_MIN_EDGES
+
+    return pad_edges >= PALLAS_MIN_EDGES
+
+
 def compute_budgets(graphs: Sequence, batch_size: int,
                     node_multiple: int = 8, edge_multiple: int = 128
                     ) -> Tuple[int, int, int]:
@@ -59,7 +72,8 @@ class GraphLoader:
                  batch_size: int = 32, shuffle: bool = False, seed: int = 0,
                  pad_nodes: Optional[int] = None,
                  pad_edges: Optional[int] = None,
-                 max_nodes: Optional[int] = None):
+                 max_nodes: Optional[int] = None,
+                 sort_edges: Optional[bool] = None):
         self.graphs = list(graphs)
         self.labels = None if labels is None else np.asarray(labels)
         self.batch_size = batch_size
@@ -71,6 +85,7 @@ class GraphLoader:
         # dataset-global per-graph width so every batch has identical
         # static shapes (no per-batch recompiles)
         self.max_nodes = max_nodes or mx
+        self.sort_edges = _auto_sort_edges(sort_edges, self.pad_edges)
 
     def __len__(self) -> int:
         return (len(self.graphs) + self.batch_size - 1) // self.batch_size
@@ -88,7 +103,7 @@ class GraphLoader:
             batch = from_graphs(
                 [self.graphs[i] for i in idx],
                 pad_nodes=self.pad_nodes, pad_edges=self.pad_edges,
-                max_nodes=self.max_nodes,
+                max_nodes=self.max_nodes, sort_edges=self.sort_edges,
             )
             y = None if self.labels is None else np.asarray(self.labels[idx])
             yield batch, y, idx
@@ -119,7 +134,9 @@ class BucketedGraphLoader:
 
     def __init__(self, graphs: Sequence, labels: Optional[np.ndarray] = None,
                  batch_size: int = 32, num_buckets: int = 4,
-                 shuffle: bool = False, seed: int = 0):
+                 shuffle: bool = False, seed: int = 0,
+                 sort_edges: Optional[bool] = None):
+        self._sort_edges_arg = sort_edges
         self.graphs = list(graphs)
         self.labels = None if labels is None else np.asarray(labels)
         self.batch_size = batch_size
@@ -175,7 +192,9 @@ class BucketedGraphLoader:
         for bi, sel in chunks:
             pn, pe, mx = self.budgets[bi]
             batch = from_graphs([self.graphs[i] for i in sel],
-                                pad_nodes=pn, pad_edges=pe, max_nodes=mx)
+                                pad_nodes=pn, pad_edges=pe, max_nodes=mx,
+                                sort_edges=_auto_sort_edges(
+                                    self._sort_edges_arg, pe))
             if self.labels is not None:
                 yield batch, np.asarray(self.labels[sel])
             else:

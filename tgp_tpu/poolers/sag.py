@@ -41,6 +41,10 @@ class SAGPooling(SRCPooling):
     remove_self_loops: bool = True
     degree_norm: bool = False
     edge_weight_norm: bool = False
+    #: "compact" | "masked" | "auto" — see
+    #: :class:`~tgp_tpu.poolers.topk.TopkPooling` (SAG's connect is the
+    #: same pure kept-node subgraph, so masked in-place pooling applies)
+    pool_mode: str = "auto"
 
     IS_TRAINABLE = True
 
@@ -97,6 +101,13 @@ class SAGPooling(SRCPooling):
             so = topk_select_from_scores(
                 self.score(batch, attn), batch, self.ratio, self.min_score,
                 self.s_inv_op)
+        from tgp_tpu.poolers._masked import masked_pool, use_masked_pool
+
+        if use_masked_pool(self.pool_mode, batch,
+                           degree_norm=self.degree_norm,
+                           edge_weight_norm=self.edge_weight_norm):
+            return masked_pool(batch, so, multiplier=self.multiplier,
+                               remove_self_loops=self.remove_self_loops)
         x_pool = self.reduce(batch.x, so) * self.multiplier
         edges = self.connect(batch, so, ConnectConfig(
             reduce_op=self.connect_red_op,
@@ -105,3 +116,10 @@ class SAGPooling(SRCPooling):
             edge_weight_norm=self.edge_weight_norm,
         ))
         return PoolingOutput(so=so, graph=self.pooled_graph(x_pool, edges, so, batch))
+
+    def lift(self, x_pool: jax.Array, so: SelectOutput) -> jax.Array:
+        if so.extras.get("pool_mode") == "masked":
+            from tgp_tpu.poolers._masked import masked_lift
+
+            return masked_lift(x_pool, so, self.s_inv_op)
+        return super().lift(x_pool, so)

@@ -223,65 +223,24 @@ class TopkPooling(SRCPooling):
         pooled = self.pooled_graph(x_pool, edges, so, batch)
         return PoolingOutput(so=so, graph=pooled)
 
-    # ---- masked (in-place) sparse pooling --------------------------------
+    # ---- masked (in-place) sparse pooling (shared helpers: _masked.py) ---
     def _use_masked(self, batch: GraphBatch) -> bool:
-        if self.pool_mode == "compact":
-            return False
-        if self.pool_mode == "masked":
-            return True
-        assert self.pool_mode == "auto", self.pool_mode
-        if self.degree_norm or self.edge_weight_norm:
-            return False  # compact postprocess variants: keep reference path
-        from tgp_tpu.ops.sparse import PALLAS_MIN_EDGES
+        from tgp_tpu.poolers._masked import use_masked_pool
 
-        import jax.extend.backend as _backend
-
-        return (batch.edges_sorted and batch.row_ptr is not None
-                and batch.num_edges >= PALLAS_MIN_EDGES
-                and _backend.get_backend().platform not in ("cpu",))
+        return use_masked_pool(self.pool_mode, batch,
+                               degree_norm=self.degree_norm,
+                               edge_weight_norm=self.edge_weight_norm)
 
     def _masked_pool(self, batch: GraphBatch,
                      so: SelectOutput) -> PoolingOutput:
-        """Gate + mask in the original node space (see ``pool_mode``).
+        from tgp_tpu.poolers._masked import masked_pool
 
-        Per-slot values match the compact path exactly: kept node *i*'s
-        pooled feature ``score_i·multiplier·x_i`` lives at node slot *i*
-        instead of supernode ``cluster_index[i]``; edges between kept nodes
-        keep their weight (``A[kept, kept]``), all else is masked.  Dropped
-        nodes' features are zeroed, so Pallas-path convs need no per-edge
-        endpoint masks (zero messages + node-mask-aware degrees)."""
-        keep = so.node_sel_mask
-        gate = jnp.where(keep, so.weight * self.multiplier, 0.0)
-        x_m = batch.x * gate[:, None].astype(batch.x.dtype)
-        w, m = batch.edge_weight, batch.edge_mask
-        w_t = batch.edge_weight_t
-        if self.remove_self_loops:
-            noloop = batch.senders != batch.receivers
-            w = jnp.where(noloop, w, 0.0)
-            m = m & noloop
-            if w_t is not None:
-                w_t = jnp.where(batch.senders_t != batch.receivers_t,
-                                w_t, 0.0)
-        pooled = batch.replace(
-            x=x_m,
-            node_mask=batch.node_mask & keep,
-            edge_weight=w,
-            edge_mask=m,
-            edge_weight_t=w_t,
-            in_degree=None,  # degrees must be recomputed under the mask
-            node_mask_shrunk=True,  # edges outlive the mask (gcn_norm)
-        )
-        so = so.replace(extras={**so.extras, "pool_mode": "masked"})
-        return PoolingOutput(so=so, graph=pooled)
+        return masked_pool(batch, so, multiplier=self.multiplier,
+                           remove_self_loops=self.remove_self_loops)
 
     def lift(self, x_pool: jax.Array, so: SelectOutput) -> jax.Array:
         if so.extras.get("pool_mode") == "masked":
-            # node-space x_pool: the compact lift ``x_lift[i] =
-            # S[i, c(i)]·x_pool[c(i)]`` becomes a weight-gated identity
-            if self.s_inv_op != "transpose":
-                raise NotImplementedError(
-                    "masked pool_mode implements lift for "
-                    "s_inv_op='transpose' only")
-            gate = jnp.where(so.node_sel_mask, so.weight, 0.0)
-            return x_pool * gate[:, None].astype(x_pool.dtype)
+            from tgp_tpu.poolers._masked import masked_lift
+
+            return masked_lift(x_pool, so, self.s_inv_op)
         return super().lift(x_pool, so)
