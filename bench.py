@@ -132,11 +132,12 @@ def bench_jax_large():
     scripts/exp_r5_step_trace.py --large): static collator CSR metadata
     (GraphBatch.row_ptr + transpose layout), scatter-free spmm_csr
     backward, and TopkPooling's masked pool_mode (no compact relabel —
-    the pooled graph keeps the input's sorted layout) took the step from
-    117 ms (8.5 M edges/s, scatter/gather-bound) to ~21 ms (~47 M
-    edges/s): 4 SpMM-grade passes of gather (1.9 ms each, ~278 GB/s ≈ the
-    random-row envelope) + Pallas kernel (~0.9 ms each) + a masked-degree
-    pass + top-k ranking glue.
+    the pooled graph keeps the input's sorted layout), plus in-kernel edge
+    weights (_grouped_kernel_w), took the step from 117 ms (8.5 M
+    edges/s, scatter/gather-bound) to ~16 ms (~62 M edges/s): 4 SpMM-grade
+    passes of gather (1.9 ms each, ~278 GB/s ≈ the random-row envelope) +
+    weight-fused Pallas kernel (~0.8 ms each) + a masked-degree pass +
+    top-k ranking glue.
     """
     import jax
     import jax.numpy as jnp

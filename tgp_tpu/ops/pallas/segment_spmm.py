@@ -227,9 +227,15 @@ def _grouped_kernel_w(block_ref, chunk_ref, first_ref, lo_ref, hi_ref,
     ``Σ_e w_e · msgs_e`` by folding the edge weight into the membership
     one-hot — the caller passes UNWEIGHTED gathered rows and never
     materializes the ``[E, F]`` weighted-messages array (a full HBM
-    round-trip, ~1.5 ms at E=1M×128 — round-5 trace)."""
+    round-trip per pass, ~0.8 ms at E=1M×128 bf16 — round-5 trace).
+
+    The weights arrive as a ``(1, 8, block_edges//8)`` VMEM block (a flat
+    ``[block_edges]`` block violates Mosaic's (8,128) tiling rule), so the
+    chunk dot splits into 8 sub-chunk dots — each broadcasts one weight
+    ROW against its one-hot slice, no in-kernel reshape/relayout."""
     i = pl.program_id(0)
     e0 = chunk_ref[i] * block_edges
+    sc = block_edges // 8
 
     @pl.when(first_ref[i] == 1)
     def _():
@@ -237,14 +243,18 @@ def _grouped_kernel_w(block_ref, chunk_ref, first_ref, lo_ref, hi_ref,
 
     lo = lo_ref[:, 0:1]
     hi = hi_ref[:, 0:1]
-    pos = e0 + jax.lax.broadcasted_iota(
-        jnp.int32, (lo_ref.shape[0], block_edges), 1)
-    oh = ((pos >= lo) & (pos < hi)).astype(jnp.float32)
-    ohw = (oh * w_ref[0, :][None, :].astype(jnp.float32)).astype(
-        msgs_ref.dtype)
-    out_ref[:] += jnp.dot(ohw, msgs_ref[:],
-                          preferred_element_type=jnp.float32,
-                          precision=precision)
+    w8 = w_ref[0]  # [8, sc]
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for s in range(8):
+        pos = (e0 + s * sc) + jax.lax.broadcasted_iota(
+            jnp.int32, (lo_ref.shape[0], sc), 1)
+        oh = ((pos >= lo) & (pos < hi)).astype(jnp.float32)
+        ohw = (oh * w8[s: s + 1, :].astype(jnp.float32)).astype(
+            msgs_ref.dtype)
+        acc += jnp.dot(ohw, msgs_ref[s * sc: (s + 1) * sc, :],
+                       preferred_element_type=jnp.float32,
+                       precision=precision)
+    out_ref[:] += acc
 
 
 def _grouped_items(row_ptr, num_rows, block_rows, block_edges, n_chunks_pad):
@@ -346,12 +356,13 @@ def sorted_segment_sum_grouped(msgs: jax.Array, rids, row_ptr: jax.Array,
         kernel = functools.partial(_grouped_kernel_w,
                                    block_edges=block_edges,
                                    precision=precision)
-        # per-chunk weight rows: [n_chunks_total, block_edges] so the
-        # BlockSpec stays 2-D (1-D VMEM blocks don't tile)
-        in_specs.append(pl.BlockSpec((1, block_edges),
-                                     lambda i, b, c, f: (c[i], 0),
+        # per-chunk weights as (chunks, 8, be//8): the trailing two dims
+        # satisfy Mosaic's (8,128)-divisible-or-full tiling rule for every
+        # block_edges the auto-tuner picks (2048→(8,256), 512→(8,64)=full)
+        in_specs.append(pl.BlockSpec((1, 8, block_edges // 8),
+                                     lambda i, b, c, f: (c[i], 0, 0),
                                      memory_space=pltpu.VMEM))
-        operands.append(w.reshape(-1, block_edges))
+        operands.append(w.reshape(-1, 8, block_edges // 8))
     in_specs.append(pl.BlockSpec((block_edges, F),
                                  lambda i, b, c, f: (c[i], 0),
                                  memory_space=pltpu.VMEM))  # msgs chunk
@@ -768,14 +779,13 @@ def _gather_kernel_pass(x, w, idx, row_ptr, num_rows, interpret):
     E_pad = (n_chunks + 1) * be
     idx_p = jnp.pad(idx, (0, E_pad - E))
     w_p = jnp.pad(w, (0, E_pad - E))
-    # weighted gather: padding slots read row 0 at weight 0.  (The weight
-    # multiply stays on the XLA side — a [BE]-per-chunk VMEM weight input
-    # needs a (1, block_edges) block, which Mosaic's (8,128)-divisibility
-    # rule rejects; the XLA multiply fuses into a single [E_pad, F] pass.)
-    rows = x[idx_p] * w_p[:, None].astype(x.dtype)
+    # unweighted gather (padding slots read row 0); the edge weight is
+    # folded into the kernel's membership one-hot (_grouped_kernel_w) —
+    # the weighted [E_pad, F] messages array is never materialized
+    rows = x[idx_p]
     out = sorted_segment_sum_grouped(
         rows, None, row_ptr, rows_pad, block_rows=br, block_edges=be,
-        prepadded=True, interpret=interpret)
+        w=w_p, prepadded=True, interpret=interpret)
     return out[:num_rows]
 
 
