@@ -4,6 +4,7 @@ the suite-level guarantee that every headline config keeps training.
 Marked slow; run explicitly or in CI:  pytest -m slow tests/test_examples_smoke.py
 """
 
+import numpy as np
 import pytest
 
 pytestmark = pytest.mark.slow
@@ -74,3 +75,13 @@ def test_inference_serving():
 
     acc = main("topk", epochs=6, verbose=False)
     assert acc > 0.6
+
+
+def test_large_graph_example():
+    """Round-5 large-graph example: sorted collation + CSR aux present,
+    train steps run; tiny sizes for the CPU lane (the real regime is the
+    bench large_graph leg)."""
+    from examples.large_graph import main
+
+    loss = main(n=256, avg_degree=6)
+    assert np.isfinite(loss)
