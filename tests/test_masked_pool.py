@@ -212,3 +212,33 @@ def test_sag_masked_matches_compact():
     gm = jax.grad(lambda p: mm.apply(p, b)[0].sum())(p)
     for a, c in zip(jax.tree.leaves(gc), jax.tree.leaves(gm)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-4)
+
+
+@pytest.mark.parametrize("ratio", [0.25, 0.5, 0.9])
+def test_masked_matches_compact_ratio_sweep(ratio):
+    b = _rand_batch(9)
+    pc = get_pooler("topk", in_channels=16, ratio=ratio,
+                    pool_mode="compact", multiplier=2.0)
+    pm = get_pooler("topk", in_channels=16, ratio=ratio,
+                    pool_mode="masked", multiplier=2.0)
+    mc = PoolingClassifier(pooler=pc, num_classes=3, hidden=16,
+                           use_pallas=True)
+    mm = PoolingClassifier(pooler=pm, num_classes=3, hidden=16,
+                           use_pallas=True)
+    p = mc.init(jax.random.key(1), b)
+    np.testing.assert_allclose(np.asarray(mc.apply(p, b)[0]),
+                               np.asarray(mm.apply(p, b)[0]), atol=1e-5)
+
+
+def test_masked_min_score_matches_compact():
+    b = _rand_batch(10)
+    kw = dict(in_channels=16, ratio=0.5, min_score=0.02)
+    pc = get_pooler("topk", pool_mode="compact", **kw)
+    pm = get_pooler("topk", pool_mode="masked", **kw)
+    mc = PoolingClassifier(pooler=pc, num_classes=3, hidden=16,
+                           use_pallas=True)
+    mm = PoolingClassifier(pooler=pm, num_classes=3, hidden=16,
+                           use_pallas=True)
+    p = mc.init(jax.random.key(2), b)
+    np.testing.assert_allclose(np.asarray(mc.apply(p, b)[0]),
+                               np.asarray(mm.apply(p, b)[0]), atol=1e-5)
