@@ -236,8 +236,7 @@ class GraphConv(nn.Module):
         if x is None:
             x = batch.x
         root = nn.Dense(self.out_channels, use_bias=True)(x)
-        neigh = spmm(batch.senders, batch.receivers, batch.edge_weight, x,
-                     batch.num_nodes)
+        neigh = self._propagate(batch, x)
         if self.aggr == "mean":
             deg = spmm(batch.senders, batch.receivers, batch.edge_weight,
                        jnp.ones((batch.num_nodes, 1), x.dtype), batch.num_nodes)
@@ -245,3 +244,32 @@ class GraphConv(nn.Module):
         neigh = nn.Dense(self.out_channels, use_bias=False)(neigh)
         out = root + neigh
         return jnp.where(batch.node_mask[:, None], out, 0.0)
+
+    @staticmethod
+    def _propagate(batch: GraphBatch, x: jax.Array) -> jax.Array:
+        """``A X`` — the static-CSR fast path (scatter-free backward) in the
+        same regime GCNConv uses it; XLA segment-sum otherwise."""
+        import jax as _jax
+
+        from tgp_tpu.ops.sparse import use_pallas_spmm
+
+        w = jnp.where(batch.edge_mask, batch.edge_weight, 0.0)
+        if (batch.row_ptr is not None and batch.senders_t is not None
+                and use_pallas_spmm(batch.num_edges, batch.edges_sorted)):
+            from tgp_tpu.ops.pallas.segment_spmm import spmm_csr
+
+            # endpoint-mask the sender side when the mask may exclude live
+            # edges (masked pooled graphs) — gradients stay exact because
+            # the mask folds into the node-space scale, not the indices
+            nm = batch.node_mask.astype(x.dtype)
+            return spmm_csr(
+                x * nm[:, None], w, batch.edge_weight_t,
+                batch.senders, batch.receivers, batch.row_ptr,
+                batch.receivers_t, batch.senders_t, batch.row_ptr_t,
+                batch.num_nodes,
+                _jax.default_backend() == "cpu")
+        if batch.node_mask_shrunk:
+            w = w * (batch.node_mask[batch.senders]
+                     & batch.node_mask[batch.receivers])
+        return spmm(batch.senders, batch.receivers, w, x, batch.num_nodes,
+                    indices_are_sorted=batch.edges_sorted)
