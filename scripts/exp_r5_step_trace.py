@@ -56,7 +56,8 @@ def build_step(steps):
     y = jnp.asarray(labels)
 
     model = DenseTopkClassifier(num_classes=3, hidden=B.HIDDEN, ratio=0.5,
-                                pre_normalized=True)
+                                pre_normalized=True,
+                                compute_dtype=jnp.bfloat16)
     params = model.init(jax.random.key(0), dense)
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)

@@ -31,6 +31,41 @@ def topk_budget(ratio: Union[int, float], max_nodes: int) -> int:
     return max(int(math.ceil(ratio * max_nodes)), 1)
 
 
+@jax.custom_vjp
+def _topk_values_vjp(ranked, idx, top_scores):
+    """``top_scores`` (= ``ranked`` gathered at ``idx``) with a
+    scatter-free VJP: forward is FREE (``lax.top_k`` already produced the
+    values), backward routes the cotangent through a one-hot contraction
+    — ``lax.top_k``'s own VJP is an XLA scatter that serializes on TPU
+    (72 µs of the 174 µs round-4 flagship step), and materializing the
+    one-hot in the FORWARD too costs another ~9 µs of HBM
+    (scripts/exp_r5_step_trace.py)."""
+    del ranked, idx
+    return top_scores
+
+
+def _tv_fwd(ranked, idx, top_scores):
+    return top_scores, (idx, ranked.shape[1])
+
+
+def _tv_bwd(res, g):
+    idx, n = res
+    # 0/1 one-hot: exact contraction under HIGHEST; the bool→f32 convert
+    # fuses into the matmul read
+    onehot = (idx[:, :, None]
+              == jnp.arange(n, dtype=idx.dtype)[None, None, :])
+    d_ranked = jnp.einsum("bk,bkn->bn", g.astype(jnp.float32),
+                          onehot.astype(jnp.float32),
+                          precision=jax.lax.Precision.HIGHEST
+                          ).astype(g.dtype)
+    # the top_scores operand is an already-stop-gradded value channel —
+    # its cotangent is zero by construction
+    return d_ranked, None, jnp.zeros_like(g)
+
+
+_topk_values_vjp.defvjp(_tv_fwd, _tv_bwd)
+
+
 def topk_select_from_scores(
     score: jax.Array,
     batch: GraphBatch,
@@ -127,10 +162,10 @@ def dense_topk_indices(
     ranked = jnp.where(mask, score, neg)
     K = N if min_score is not None else topk_budget(ratio, N)
     top_scores, idx = jax.lax.top_k(ranked, K)
-    # top_scores feeds only boolean masks below; the differentiable gate is
-    # recomputed through a one-hot matmul instead, because lax.top_k's VJP
-    # is a [B,K]→[B,N] XLA scatter that serializes on TPU — profiled at
-    # 72 µs of the 174 µs flagship step (41%, scripts/exp_r5_step_trace.py)
+    # top_scores feeds only boolean masks below; the differentiable gate
+    # flows through _topk_values_vjp instead, because lax.top_k's VJP is a
+    # [B,K]→[B,N] XLA scatter that serializes on TPU — profiled at 72 µs
+    # of the 174 µs flagship step (41%, scripts/exp_r5_step_trace.py)
     # vs ~1 µs for the MXU einsum transpose.
     top_scores = jax.lax.stop_gradient(top_scores)
 
@@ -146,13 +181,9 @@ def dense_topk_indices(
             k_g = jnp.maximum(jnp.ceil(ratio * n_g), 1).astype(jnp.int32)
         slot_mask = jnp.arange(K)[None, :] < k_g[:, None]
     slot_mask = slot_mask & (top_scores > neg)  # empty graphs stay empty
-    # gate[b,k] = ranked[b, idx[b,k]] via one-hot contraction: exact (one
-    # 1.0 per row, HIGHEST keeps f32 f32) and its transpose is another
-    # matmul — no scatter anywhere in the backward pass
-    onehot = (idx[:, :, None]
-              == jnp.arange(N, dtype=idx.dtype)[None, None, :])
-    ts_diff = jnp.einsum("bkn,bn->bk", onehot.astype(score.dtype), ranked,
-                         precision=jax.lax.Precision.HIGHEST)
+    # differentiable gate: forward reuses top_k's values verbatim (free);
+    # only the BACKWARD builds the one-hot contraction
+    ts_diff = _topk_values_vjp(ranked, idx, top_scores)
     gate = jnp.where(slot_mask, ts_diff, 0.0)
     return idx, slot_mask, gate
 
