@@ -1,6 +1,12 @@
 """Itemize the large-graph train step (VERDICT r4 #3 follow-up): where do
 146 ms go at N=64k, E=1M, F=128?
 
+HISTORICAL RECORD of the COMPACT-relabel path that motivated the round-5
+masked redesign (stages B-E call the compact select/connect internals
+directly).  The shipped path is measured by bench.py large_graph and
+attributed by scripts/exp_r5_step_trace.py --large (16.1 ms / 62 M
+edges/s final).
+
 Measures forward-only and train-step (fwd+bwd+adam) timings for a ladder
 of partial models, each adding one stage:
 
