@@ -26,6 +26,7 @@ __all__ = [
     "remove_self_loops",
     "add_remaining_self_loops",
     "spmm",
+    "spmm_batch",
     "sddmm",
     "normalize_adj_sym",
     "postprocess_adj_sparse",
@@ -223,6 +224,47 @@ def spmm(senders, receivers, edge_weight, x, num_nodes: int, *,
                                   interpret=interp)
     return jax.ops.segment_sum(msgs, receivers, num_segments=num_nodes,
                                indices_are_sorted=indices_are_sorted)
+
+
+def spmm_batch(batch, x=None, *, abs_weights: bool = False):
+    """``A X`` over a :class:`~tgp_tpu.graph.GraphBatch`, on the fastest
+    available path — the building block for custom message-passing layers.
+
+    Dispatch (what GCNConv/GraphConv use internally, round-5 regime map):
+
+    * collator CSR metadata present + Pallas regime → :func:`spmm_csr`
+      (weight-fused sorted kernel, scatter-free transpose backward);
+    * receiver-sorted edges → XLA segment-sum with the sorted flag;
+    * otherwise → XLA scatter segment-sum.
+
+    Masked pooled graphs (``node_mask_shrunk``) are handled by folding the
+    node mask into the sender side, so the product covers exactly the
+    induced subgraph.  ``abs_weights`` aggregates with ``|w|`` (degree-style
+    sums)."""
+    import jax.extend.backend as _backend
+
+    if x is None:
+        x = batch.x
+    w = jnp.where(batch.edge_mask, batch.edge_weight, 0.0)
+    w_t = batch.edge_weight_t
+    if abs_weights:
+        w = jnp.abs(w)
+        w_t = None if w_t is None else jnp.abs(w_t)
+    nm = batch.node_mask
+    if (batch.row_ptr is not None and batch.senders_t is not None
+            and use_pallas_spmm(batch.num_edges, batch.edges_sorted)):
+        from tgp_tpu.ops.pallas.segment_spmm import spmm_csr
+
+        x_in = x * nm[:, None].astype(x.dtype) if batch.node_mask_shrunk \
+            else x
+        return spmm_csr(x_in, w, w_t, batch.senders, batch.receivers,
+                        batch.row_ptr, batch.receivers_t, batch.senders_t,
+                        batch.row_ptr_t, batch.num_nodes,
+                        _backend.get_backend().platform == "cpu")
+    if batch.node_mask_shrunk:
+        w = w * (nm[batch.senders] & nm[batch.receivers])
+    return spmm(batch.senders, batch.receivers, w, x, batch.num_nodes,
+                indices_are_sorted=batch.edges_sorted)
 
 
 def sort_by_receiver(senders, receivers, edge_weight, edge_mask=None):
